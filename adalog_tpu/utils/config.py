@@ -1,0 +1,67 @@
+"""Run configuration.
+
+Parity: reference configs/{3bit,4bit,6bit}.py expose a plain ``Config`` class
+with attributes; test_quant.py:139-152 imports it dynamically via importlib and
+lets the CLI override five fields. We keep that exact protocol (user configs are
+plain .py files defining ``Config``) and add a dataclass with the same defaults
+so programmatic use is typed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+from dataclasses import dataclass, fields
+
+
+@dataclass
+class Config:
+    # calibration settings (configs/4bit.py:3-15)
+    calib_size: int = 32
+    optim_size: int = 1024
+    calib_batch_size: int = 32
+    optim_batch_size: int = 32
+    w_bit: int = 4
+    a_bit: int = 4
+    s_bit: int = 4
+    qconv_a_bit: int = 8
+    qhead_a_bit: int = 4
+    matmul_head_channel_wise: bool = True
+    post_softmax_quantizer: str = "adalog"
+    post_gelu_quantizer: str = "adalog"
+    # search settings (configs/4bit.py:17-20)
+    eq_n: int = 128
+    search_round: int = 3
+    fpcs: bool = True
+    steps: int = 6
+    # optimization settings (configs/4bit.py:22-23)
+    keep_gpu: bool = True       # keep cached block I/O on device during recon
+    train_act: bool = True
+    # TPU-native additions (no reference equivalent)
+    search_dtype: str = "float32"   # dtype of the candidate-scoring matmuls
+    eval_dtype: str = "float32"     # dtype of the quantized eval forward
+    capture_device_budget_bytes: int = 8 << 30  # spill capture to host above this
+    recon_iters: int = 20000
+    use_pallas: bool = True     # use Pallas TPU kernels where available
+
+    @classmethod
+    def from_object(cls, obj) -> "Config":
+        """Build from any object with matching attributes (e.g. a user Config)."""
+        kwargs = {}
+        for f in fields(cls):
+            if hasattr(obj, f.name):
+                kwargs[f.name] = getattr(obj, f.name)
+        return cls(**kwargs)
+
+
+def load_config(path: str) -> Config:
+    """Import ``Config`` from a user .py file (test_quant.py:139-147 protocol)."""
+    path = os.path.abspath(path)
+    name = os.path.splitext(os.path.basename(path))[0]
+    spec = importlib.util.spec_from_file_location(name, path)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)
+    user_cls = getattr(module, "Config")
+    return Config.from_object(user_cls())
