@@ -1,0 +1,403 @@
+"""FPCS hyperparameter search, per quant-site family.
+
+The reference's per-layer `hyperparameter_searching` methods are stateful
+Python loops over candidate chunks with host<->device shuttling
+(linear.py:525-545, 585-594, 697-721, 969-997; matmul.py:264-283, 360-378;
+conv.py:313-334). Here each family is ONE jitted function: candidate
+generation, the full FPCS refine schedule and all alternating search rounds
+trace into a single XLA program per layer shape — compiled once, reused for
+every layer of that shape in the model.
+
+FPCS (Fast Progressive Combining Search): score a percentile-derived candidate
+grid, keep the top-k, re-grid around each survivor with a shrinking delta, and
+repeat ``steps`` times, final step keeping the top-1. Candidate count is always
+eq_n (static shapes). Canonical layout: scales/zps as (E, U) with U independent
+units (row-groups, channels, heads, or 1), scale index varying fastest.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from adalog_tpu.calib import candidates as C
+from adalog_tpu.ops import scoring as S
+
+
+# ---------------------------------------------------------------------------
+# Generic FPCS over canonical (E, U) candidates
+# ---------------------------------------------------------------------------
+
+def _topk_gather(sims, scales, zps, k):
+    """sims/scales/zps: (E, U) -> top-k per unit: (k, U) each."""
+    _, idx = jax.lax.top_k(sims.T, k)            # (U, k)
+    idx = idx.T                                   # (k, U)
+    return (jnp.take_along_axis(scales, idx, axis=0),
+            jnp.take_along_axis(zps, idx, axis=0))
+
+
+def fpcs(score2d, scales, zps, *, eq_n: int, steps: int, width: int = 16,
+         clamp_min=None):
+    """Run the FPCS schedule; returns (best_scale (U,), best_zp (U,)).
+
+    steps=1 degenerates to a single scoring pass over the initial grid, which
+    is exactly the reference's fpcs=False path (linear.py:530-534).
+    Refine grid per reference linear.py:491-502: offsets (linspace(0,1,cnt)-.5)
+    times the current delta, delta shrinking by (cnt-0.5) each step.
+    """
+    delta = scales[1] - scales[0]                 # (U,) adjacent-scale step
+    cnt = eq_n // width
+    sims = score2d(scales, zps)
+    for step in range(steps - 1):
+        k_scales, k_zps = _topk_gather(sims, scales, zps, width)
+        offs = (jnp.linspace(0.0, 1.0, cnt)[:, None] - 0.5) * delta  # (cnt, U)
+        scales = (k_scales[:, None, :] + offs[None, :, :]).reshape(eq_n, -1)
+        if clamp_min is not None:
+            scales = jnp.clip(scales, clamp_min, None)
+        zps = jnp.repeat(k_zps, cnt, axis=0)
+        delta = delta / (cnt - 0.5)
+        sims = score2d(scales, zps)
+    best_s, best_z = _topk_gather(sims, scales, zps, 1)
+    return best_s[0], best_z[0]
+
+
+def _steps(fpcs_on: bool, steps: int) -> int:
+    return steps if fpcs_on else 1
+
+
+# ---------------------------------------------------------------------------
+# Linear family
+# ---------------------------------------------------------------------------
+
+def _wq(w_v, scale_u, zp_u, bits):
+    """Quantize the viewed weight with per-unit (V*R) params."""
+    V, R, _ = w_v.shape
+    s = scale_u.reshape(V, R, 1)
+    z = zp_u.reshape(V, R, 1)
+    return S.uq_asym(w_v, s, z, bits)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs"))
+def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
+                          eq_n: int, steps: int, rounds: int, use_fpcs: bool):
+    """Default asymmetric Linear search (linear.py:525-545).
+
+    x: (T, I) flattened input; y: (T, O) raw output; w: (O, I); b: (O,)|None.
+    Flow: weight self-FPCS, activation self-FPCS, then ``rounds`` alternating
+    output-MSE FPCS passes over weights and activations.
+    Returns (w_scale (V,R,1), w_zp, a_scale (1,), a_zp (1,)).
+    """
+    O, I = w.shape
+    V, R = n_V, O // n_V
+    w_v = w.reshape(V, R, I)
+    tgt = y - b if b is not None else y
+    st = _steps(use_fpcs, steps)
+
+    def exp_w(s2d, z2d):
+        return (s2d.reshape(-1, V, R, 1), z2d.reshape(-1, V, R, 1))
+
+    # ---- init: self searches (linear.py:527-529) ----
+    ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
+    w_s, w_z = fpcs(
+        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits
+                                         ).reshape(eq_n, V * R),
+        ws0, wz0, eq_n=eq_n, steps=st)
+    as0, az0 = C.act_candidates(x, a_bits, eq_n, channel_wise=False)
+    a_s, a_z = fpcs(
+        lambda s, z: S.score_act_self(x, s[:, :, None], z[:, :, None], a_bits,
+                                      channel_wise=False, n_batch=1
+                                      ).reshape(eq_n, 1),
+        as0, az0, eq_n=eq_n, steps=st, clamp_min=1e-4)
+
+    # ---- rounds: output-MSE searches (linear.py:536-542) ----
+    for _ in range(rounds):
+        x_q = S.uq_asym(x, a_s, a_z, a_bits)
+        ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
+        w_s, w_z = fpcs(
+            lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
+                                              w_bits).reshape(eq_n, V * R),
+            ws0, wz0, eq_n=eq_n, steps=st)
+        w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
+        as0, az0 = C.act_candidates(x, a_bits, eq_n, channel_wise=False)
+        a_s, a_z = fpcs(
+            lambda s, z: S.score_linear_a_out(x, tgt, w_q2, s, z, a_bits
+                                              )[:, None],
+            as0, az0, eq_n=eq_n, steps=st, clamp_min=1e-4)
+
+    return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1), a_s, a_z)
+
+
+@partial(jax.jit, static_argnames=("a_bits", "eq_n", "steps", "use_fpcs"))
+def search_act_channelwise(x, *, a_bits: int, eq_n: int, steps: int,
+                           use_fpcs: bool):
+    """Per-input-channel activation self-search — the pre-reparam stage of the
+    channel-wise Linear (linear.py:585-594). Returns (scale (I,), zp (I,))."""
+    I = x.shape[-1]
+    as0, az0 = C.act_candidates(x, a_bits, eq_n, channel_wise=True)
+    a_s, a_z = fpcs(
+        lambda s, z: S.score_act_self(x, s[:, None, :], z[:, None, :], a_bits,
+                                      channel_wise=True, n_batch=1),
+        as0, az0, eq_n=eq_n, steps=_steps(use_fpcs, steps), clamp_min=1e-4)
+    return a_s, a_z
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs"))
+def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
+                                  a_bits: int, n_V: int, eq_n: int, steps: int,
+                                  rounds: int, use_fpcs: bool):
+    """Post-GeLU AdaLog fc2 search (linear.py:969-997).
+
+    Flow: weight self-FPCS; scale init at the second-to-last percentile point;
+    rounds of [log-base top-8 x 16-scale joint FPCS (width 32), then weight
+    output-MSE FPCS]. Returns (w_scale, w_zp, a_scale (1,), q (scalar)).
+    """
+    O, I = w.shape
+    V, R = n_V, O // n_V
+    w_v = w.reshape(V, R, I)
+    tgt = y - b if b is not None else y
+    st = _steps(use_fpcs, steps)
+
+    def exp_w(s2d, z2d):
+        return (s2d.reshape(-1, V, R, 1), z2d.reshape(-1, V, R, 1))
+
+    ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
+    w_s, w_z = fpcs(
+        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits
+                                         ).reshape(eq_n, V * R),
+        ws0, wz0, eq_n=eq_n, steps=st)
+
+    ud, scale_grid = C.postgelu_scale_candidates(x, shift, eq_n)
+    a_s = scale_grid[-2]                      # (1,) init (linear.py:977)
+    q = jnp.asarray(37.0)
+
+    q_grid = jnp.arange(10, 10 + eq_n, dtype=jnp.float32)
+
+    for _ in range(rounds):
+        w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
+        if use_fpcs:
+            # stage 1: top base_num=8 log bases at the current scale
+            sims_q = S.score_linear_a_out_adalog(
+                x, tgt, w_q2, shift, jnp.broadcast_to(a_s, (eq_n, 1)),
+                q_grid[:, None], a_bits)
+            _, q_idx = jax.lax.top_k(sims_q, 8)
+            # stage 2: joint (scale, q): 16 scales x 8 bases, width-32 FPCS
+            scale16 = (ud[0] + (ud[1] - ud[0]) *
+                       (jnp.arange(16, dtype=jnp.float32) / 15.0))
+            joint_s = jnp.tile(scale16, 8)[:, None]                  # (128, 1)
+            joint_q = jnp.repeat(q_grid[q_idx], 16)[:, None]         # (128, 1)
+            a_s, qv = fpcs(
+                lambda s, z: S.score_linear_a_out_adalog(
+                    x, tgt, w_q2, shift, s, z, a_bits)[:, None],
+                joint_s, joint_q, eq_n=eq_n, steps=st, width=32)
+            q = qv[0]
+        else:
+            # non-fpcs: independent base then scale argmax (linear.py:985-986)
+            sims_q = S.score_linear_a_out_adalog(
+                x, tgt, w_q2, shift, jnp.broadcast_to(a_s, (eq_n, 1)),
+                q_grid[:, None], a_bits)
+            q = q_grid[jnp.argmax(sims_q)]
+            sims_s = S.score_linear_a_out_adalog(
+                x, tgt, w_q2, shift, scale_grid,
+                jnp.broadcast_to(q, (eq_n, 1)), a_bits)
+            a_s = scale_grid[jnp.argmax(sims_s)]
+        # weight output-MSE with the AdaLog-quantized input
+        x_q = S.adalog_fq_search(x + shift, a_s, q, a_bits) - shift
+        ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
+        w_s, w_z = fpcs(
+            lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
+                                              w_bits).reshape(eq_n, V * R),
+            ws0, wz0, eq_n=eq_n, steps=st)
+
+    return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1),
+            jnp.reshape(a_s, (1,)), q)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs"))
+def search_linear_postgelu_twin(x, y, w, b, *, w_bits: int, a_bits: int,
+                                n_V: int, eq_n: int, steps: int, rounds: int,
+                                use_fpcs: bool):
+    """PTQ4ViT twin-uniform fc2 search (linear.py:697-721).
+
+    Negative scale fixed at GELU_MIN/N (linear.py:653-657); positive scale
+    searched over 2^i * neg_scale, i in [-5, 24] (linear.py:707-709).
+    Returns (w_scale, w_zp, scale_pos (1,), scale_neg (1,)).
+    """
+    from adalog_tpu.quantizers.state import GELU_MIN
+    O, I = w.shape
+    V, R = n_V, O // n_V
+    N = 2 ** (a_bits - 1)
+    w_v = w.reshape(V, R, I)
+    tgt = y - b if b is not None else y
+    st = _steps(use_fpcs, steps)
+
+    def exp_w(s2d, z2d):
+        return (s2d.reshape(-1, V, R, 1), z2d.reshape(-1, V, R, 1))
+
+    ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
+    w_s, w_z = fpcs(
+        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits
+                                         ).reshape(eq_n, V * R),
+        ws0, wz0, eq_n=eq_n, steps=st)
+
+    s_neg = jnp.asarray([GELU_MIN / N], jnp.float32)
+    s_pos = jnp.abs(x).max().reshape(1) / (N - 0.5)
+    # 29 evaluated candidates: 2^-5..2^23 times s_neg (the reference's loop
+    # covers indices 0..eq_n-1 of a 30-point grid)
+    pos_grid = (jnp.exp2(jnp.arange(-5, 24, dtype=jnp.float32)) * s_neg)[:, None]
+
+    for _ in range(rounds):
+        w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
+        sims = S.score_linear_a_out_twin(x, tgt, w_q2, pos_grid, s_neg, a_bits)
+        s_pos = pos_grid[jnp.argmax(sims)]
+        x_pos = jnp.clip(jnp.round(x / s_pos), 0, N - 1) * s_pos
+        x_neg = jnp.clip(jnp.round(x / s_neg), -N, 0) * s_neg
+        x_q = x_pos + x_neg
+        ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
+        w_s, w_z = fpcs(
+            lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
+                                              w_bits).reshape(eq_n, V * R),
+            ws0, wz0, eq_n=eq_n, steps=st)
+
+    return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1), s_pos, s_neg)
+
+
+# ---------------------------------------------------------------------------
+# MatMul family
+# ---------------------------------------------------------------------------
+
+def _mm_expand(s2d, z2d, H, head_cw):
+    """(E, U) -> (E, 1, H|1, 1, 1) native matmul broadcast layout."""
+    U = H if head_cw else 1
+    return (s2d.reshape(-1, 1, U, 1, 1), z2d.reshape(-1, 1, U, 1, 1))
+
+
+@partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "head_cw"))
+def search_matmul(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
+                  rounds: int, use_fpcs: bool, head_cw: bool):
+    """q@kT matmul search (matmul.py:264-283).
+
+    A: (N, H, S, C); B: (N, H, C, S2); y: (N, H, S, S2) raw product.
+    Init both operands at the second-to-last percentile candidate, then
+    ``rounds`` of alternating A/B output-MSE FPCS.
+    Returns (A_scale, A_zp, B_scale, B_zp) each (1, H|1, 1, 1).
+    """
+    H = A.shape[1]
+    U = H if head_cw else 1
+
+    As0, Az0 = C.matmul_candidates(A, B_bits, eq_n, head_channel_wise=head_cw)
+    Bs0, Bz0 = C.matmul_candidates(B, B_bits, eq_n, head_channel_wise=head_cw)
+    A_s, A_z = As0[-2], Az0[-2]        # (U,) init (matmul.py:266-271)
+    B_s, B_z = Bs0[-2], Bz0[-2]
+    st = _steps(use_fpcs, steps)
+
+    def nat(u):
+        return u.reshape(1, U, 1, 1)
+
+    for _ in range(rounds):
+        B_q = S.uq_asym(B, nat(B_s), nat(B_z), B_bits)
+        A_s, A_z = fpcs(
+            lambda s, z: S.score_matmul_opA(
+                A, B_q, y, *_mm_expand(s, z, H, head_cw), A_bits,
+                head_channel_wise=head_cw).reshape(eq_n, U),
+            As0, Az0, eq_n=eq_n, steps=st)
+        A_q = S.uq_asym(A, nat(A_s), nat(A_z), A_bits)
+        B_s, B_z = fpcs(
+            lambda s, z: S.score_matmul_opB(
+                A_q, B, y, *_mm_expand(s, z, H, head_cw), B_bits,
+                head_channel_wise=head_cw).reshape(eq_n, U),
+            Bs0, Bz0, eq_n=eq_n, steps=st)
+
+    return nat(A_s), nat(A_z), nat(B_s), nat(B_z)
+
+
+@partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "head_cw", "a_kind"))
+def search_matmul_postsoftmax(A, B, y, *, A_bits: int, B_bits: int, eq_n: int,
+                              steps: int, rounds: int, use_fpcs: bool,
+                              head_cw: bool, a_kind: str):
+    """softmax@v matmul search (matmul.py:360-378).
+
+    A (post-softmax) gets a log quantizer (``a_kind``) with scale frozen at
+    1.0; for AdaLog the integer base q is argmax-searched each round,
+    alternating with B-scale FPCS. Log2/LogSqrt2 run a single B round
+    (matmul.py:374-375). Returns (q (scalar), B_scale, B_zp).
+    """
+    from adalog_tpu.quantizers.logarithm import log2_quant, logsqrt2_quant
+
+    H = A.shape[1]
+    U = H if head_cw else 1
+    search_base = a_kind == "adalog"
+
+    Bs0, Bz0 = C.matmul_candidates(B, B_bits, eq_n, head_channel_wise=head_cw)
+    B_s, B_z = Bs0[-2], Bz0[-2]
+    q = jnp.asarray(37.0)
+    q_grid = jnp.arange(10, 10 + eq_n, dtype=jnp.float32)
+    st = _steps(use_fpcs, steps)
+
+    def nat(u):
+        return u.reshape(1, U, 1, 1)
+
+    n_rounds = rounds if search_base else 1
+    for _ in range(n_rounds):
+        if search_base:
+            B_q = S.uq_asym(B, nat(B_s), nat(B_z), B_bits)
+            sims = S.score_postsoftmax_base(A, B_q, y, q_grid, A_bits)
+            q = q_grid[jnp.argmax(sims)]
+            A_q = S.adalog_fq_search(A, 1.0, q, A_bits, clamp_upper=False)
+        elif a_kind == "log2":
+            A_q = log2_quant(A, jnp.float32(1.0), bits=A_bits)
+        else:
+            A_q = logsqrt2_quant(A, jnp.float32(1.0), bits=A_bits)
+        B_s, B_z = fpcs(
+            lambda s, z: S.score_matmul_opB(
+                A_q, B, y, *_mm_expand(s, z, H, head_cw), B_bits,
+                head_channel_wise=head_cw).reshape(eq_n, U),
+            Bs0, Bz0, eq_n=eq_n, steps=st)
+
+    return q, nat(B_s), nat(B_z)
+
+
+# ---------------------------------------------------------------------------
+# Conv family
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("w_bits", "eq_n", "steps", "use_fpcs",
+                                   "conv_dims"))
+def search_conv(x, y, w, b, *, w_bits: int, eq_n: int, steps: int,
+                use_fpcs: bool, conv_dims):
+    """Patch-embed conv search (conv.py:313-334): weight-only (activations are
+    8-bit passthrough), a single output-MSE FPCS round with per-out-channel
+    candidates (num_zp = n_levels, conv.py:266).
+
+    x: (N, H, W, IC) NHWC; y: (N, FH, FW, OC); w: (OC, IC, KH, KW); b: (OC,).
+    Returns (w_scale (OC, 1), w_zp (OC, 1)).
+    """
+    OC = w.shape[0]
+    w_flat = w.reshape(OC, -1)
+    tgt = y - b if b is not None else y
+    N_lv = 2 ** (w_bits - 1)
+    num_zp = N_lv
+    num_scale = eq_n // num_zp
+
+    # percentile candidates, conv variant (num_zp differs from linear)
+    pct = jnp.asarray([0.9, 1.0], jnp.float32)
+    uppers = jnp.quantile(w_flat, pct, axis=-1)
+    lowers = jnp.quantile(w_flat, 1.0 - pct, axis=-1)
+    delta_min = (uppers[0] - lowers[0])[None, :]
+    delta_max = (uppers[1] - lowers[1])[None, :]
+    splits = jnp.linspace(0.0, 1.0, num_scale)[:, None] * (delta_max - delta_min)
+    ws0 = jnp.tile((delta_min + splits) / (2 * N_lv - 1), (num_zp, 1))
+    zgrid = jnp.arange(N_lv - num_zp // 2, N_lv + num_zp // 2, dtype=jnp.float32)
+    wz0 = jnp.broadcast_to(jnp.repeat(zgrid, num_scale)[:, None], ws0.shape)
+
+    w_s, w_z = fpcs(
+        lambda s, z: S.score_conv_w_out(
+            x, tgt, w_flat, conv_dims, s[:, :, None], z[:, :, None], w_bits),
+        ws0, wz0, eq_n=eq_n, steps=_steps(use_fpcs, steps))
+    return w_s[:, None], w_z[:, None]

@@ -1,0 +1,288 @@
+"""Candidate-scoring primitives for the calibration search.
+
+The reference evaluates ``parallel_eq_n`` candidate quantization params per
+batched pass, chunked by GPU memory and looped in Python with host<->device
+re-uploads on every chunk (linear.py:141-235, 296-430; matmul.py:135-240;
+conv.py:170-260). Here each scoring family is one jit-compatible function
+vmapped over all eq_n candidates, chunked deterministically with
+``lax.map(..., batch_size=...)`` so intermediates stay under a fixed budget and
+everything runs on-device in a single compiled program.
+
+Conventions
+  - similarity = negative sum of squared error (reference `_get_similarity`,
+    linear.py:87-88); reductions follow the reference's mean-over-feature /
+    sum-over-batch ordering where it affects ranking granularity.
+  - x is pre-flattened to (T, I) tokens; targets have the layer bias already
+    subtracted (the bias is candidate-independent, so folding it into the
+    target is exact and removes E copies of the bias add).
+  - all math in float32 (scores are argmax-compared; see SURVEY.md §7 on
+    accumulation-order parity).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from adalog_tpu.quantizers.logarithm import ADALOG_R, adalog_mantissa
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+# Max bytes for any single candidate-chunk intermediate. Determines the
+# deterministic analog of the reference's GPU-memory-derived parallel_eq_n
+# (linear.py:111-121) — no try/except-OOM retries (XLA cannot catch OOM).
+SCORE_BUDGET_BYTES = 1 << 30
+
+
+def _chunk_size(eq_n: int, bytes_per_candidate: int) -> int:
+    cap = max(1, SCORE_BUDGET_BYTES // max(1, bytes_per_candidate))
+    c = min(eq_n, cap)
+    # largest divisor of eq_n not exceeding the cap keeps lax.map shapes static
+    while eq_n % c:
+        c -= 1
+    return c
+
+
+def _map(fn, cands, eq_n: int, bytes_per_candidate: int):
+    bs = _chunk_size(eq_n, bytes_per_candidate)
+    return lax.map(fn, cands, batch_size=bs)
+
+
+def uq_asym(x, scale, zp, bits: int):
+    """Search-path asymmetric fake quant (zp candidates are already integers)."""
+    N = 2 ** (bits - 1)
+    q = jnp.clip(jnp.round(x / scale) + zp, 0, 2 * N - 1)
+    return (q - zp) * scale
+
+
+def adalog_fq_search(x, scale, q, bits: int, clamp_upper: bool = True):
+    """Search-path AdaLog fake quant via the shift/mantissa decomposition
+    (linear.py:829-836, matmul.py:330-337). ``scale``/``q`` may be candidates."""
+    N = 2 ** (bits - 1)
+    scaled = x / scale
+    scaled = jnp.clip(scaled, 1e-15, 1.0) if clamp_upper else scaled
+    code = jnp.round(-jnp.log2(scaled) * ADALOG_R / q)
+    keep = code < 2 * N
+    code = jnp.clip(code, 0, 2 * N - 1)
+    prod = code * q
+    dq = jnp.exp2(-jnp.floor(prod / ADALOG_R)) * adalog_mantissa(
+        jnp.round(jnp.remainder(prod, ADALOG_R)), bits)
+    return dq * keep * scale
+
+
+# ---------------------------------------------------------------------------
+# Self-searches (score the quantization error of the tensor itself)
+# ---------------------------------------------------------------------------
+
+def score_weight_self(w_v, scales, zps, bits: int):
+    """w_v: (V, R, I); scales/zps: (E, V, R, 1) -> similarity (E, V, R).
+
+    Reference linear.py:296-318 (_search_best_w_scale_self): per-row-group mean
+    of squared weight quantization error.
+    """
+    E = scales.shape[0]
+
+    def one(c):
+        s, z = c
+        dq = uq_asym(w_v, s, z, bits)
+        return -jnp.mean(jnp.square(w_v - dq), axis=-1)
+
+    return _map(one, (scales, zps), E, w_v.size * 4)
+
+
+def score_act_self(x, scales, zps, bits: int, *, channel_wise: bool,
+                   n_batch: int):
+    """x: (T, I) flattened tokens from n_batch calibration samples.
+
+    Per-tensor: scales (E, 1) -> (E,);  channel-wise: scales (E, I) -> (E, I).
+    Reference linear.py:320-353 (_search_best_a_scale_self): mean over token
+    dims, sum over batch — with equal-sized batches that ordering equals a
+    constant times the mean over T, which is ranking-equivalent.
+    """
+    E = scales.shape[0]
+
+    def one(c):
+        s, z = c
+        dq = uq_asym(x, s, z, bits)
+        err = jnp.square(x - dq)
+        if channel_wise:
+            return -jnp.sum(err, axis=0) * (n_batch / x.shape[0])
+        return -jnp.mean(err) * n_batch
+
+    return _map(one, (scales, zps), E, x.size * 4)
+
+
+# ---------------------------------------------------------------------------
+# Output-MSE searches (score layer-output reconstruction)
+# ---------------------------------------------------------------------------
+
+def score_linear_w_out(x_q, target, w_v, scales, zps, bits: int):
+    """Weight-candidate scoring against layer output.
+
+    x_q: (T, I) activation-quantized input; target: (T, O) raw output minus
+    bias; w_v: (V, R, I); scales/zps: (E, V, R, 1) -> similarity (E, V, R).
+    Reference linear.py:355-392 (_search_best_w_scale): per-output-unit SSE.
+    """
+    E = scales.shape[0]
+    T, O = target.shape
+    V, R, I = w_v.shape
+    tgt = target.reshape(T, V, R)
+
+    def one(c):
+        s, z = c
+        w_dq = uq_asym(w_v, s, z, bits)                       # (V, R, I)
+        out = jnp.einsum("ti,vri->tvr", x_q, w_dq,
+                         preferred_element_type=jnp.float32,
+                         precision=HIGHEST)
+        return -jnp.sum(jnp.square(tgt - out), axis=0)        # (V, R)
+
+    return _map(one, (scales, zps), E, (T * O + V * R * I) * 4)
+
+
+def score_linear_a_out(x, target, w_q, scales, zps, bits: int):
+    """Activation-candidate scoring against layer output (per-tensor).
+
+    x: (T, I); target: (T, O) minus bias; w_q: (O, I) weight-quantized.
+    scales/zps: (E, 1) -> similarity (E,).
+    Reference linear.py:394-430 (_search_best_a_scale).
+    """
+    E = scales.shape[0]
+    T, O = target.shape
+
+    def one(c):
+        s, z = c
+        x_dq = uq_asym(x, s, z, bits)
+        out = jnp.matmul(x_dq, w_q.T, precision=HIGHEST)
+        return -jnp.sum(jnp.square(target - out))
+
+    return _map(one, (scales, zps), E, (T * O + x.size) * 4)
+
+
+def score_linear_a_out_twin(x, target, w_q, scales_pos, scale_neg, bits: int):
+    """PTQ4ViT twin-range positive-scale scoring (linear.py:660-695).
+
+    scales_pos: (E, 1); scale_neg: fixed (1,). similarity (E,).
+    """
+    E = scales_pos.shape[0]
+    N = 2 ** (bits - 1)
+    T, O = target.shape
+    x_neg = jnp.clip(jnp.round(x / scale_neg), -N, 0) * scale_neg
+
+    def one(sp):
+        x_pos = jnp.clip(jnp.round(x / sp), 0, N - 1) * sp
+        out = jnp.matmul(x_pos + x_neg, w_q.T, precision=HIGHEST)
+        return -jnp.sum(jnp.square(target - out))
+
+    return _map(one, scales_pos, E, (T * O + x.size) * 4)
+
+
+def score_linear_a_out_adalog(x, target, w_q, shift, scales, qs, bits: int):
+    """Post-GeLU AdaLog scoring with per-candidate (scale, q) pairs.
+
+    x: (T, I) raw input; target minus bias; shift: scalar (GELU_MIN).
+    scales/qs: (E, 1) -> similarity (E,).
+    Reference linear.py:816-939 (_search_best_a_scale/_log_base/_scale_logbase
+    share this kernel; fixing one of scale/q gives the single-axis searches).
+    """
+    E = scales.shape[0]
+    T, O = target.shape
+
+    def one(c):
+        s, q = c
+        x_dq = adalog_fq_search(x + shift, s, q, bits) - shift
+        out = jnp.matmul(x_dq, w_q.T, precision=HIGHEST)
+        return -jnp.sum(jnp.square(target - out))
+
+    return _map(one, (scales, qs), E, (T * O + x.size) * 4)
+
+
+# ---------------------------------------------------------------------------
+# MatMul searches (attention q@kT and softmax@v)
+# ---------------------------------------------------------------------------
+
+def _matmul_sim(err2, head_channel_wise: bool):
+    """err2: (N, H, S, S2) -> (H,) or () following matmul.py:157-162:
+    per-head mean over trailing dims, sum over batch."""
+    if head_channel_wise:
+        return -jnp.sum(jnp.mean(err2, axis=(2, 3)), axis=0)
+    return -jnp.sum(jnp.mean(err2, axis=(1, 2, 3)), axis=0)
+
+
+def score_matmul_opA(A, B_q, target, scales, zps, bits: int,
+                     head_channel_wise: bool):
+    """Candidate-quantize A against raw A@B output (matmul.py:135-173).
+
+    A: (N, H, S, C); B_q: (N, H, C, S2) already quantized; target: (N, H, S, S2).
+    scales/zps: (E, 1, H|1, 1, 1) -> similarity (E, H) or (E,).
+    """
+    E = scales.shape[0]
+
+    def one(c):
+        s, z = c                        # (1, H|1, 1, 1) broadcast vs (N, H, S, C)
+        A_dq = uq_asym(A, s, z, bits)
+        out = jnp.matmul(A_dq, B_q, preferred_element_type=jnp.float32,
+                          precision=HIGHEST)
+        return _matmul_sim(jnp.square(target - out), head_channel_wise)
+
+    return _map(one, (scales, zps), E, (target.size + A.size) * 4)
+
+
+def score_matmul_opB(A_q, B, target, scales, zps, bits: int,
+                     head_channel_wise: bool):
+    """Candidate-quantize B against raw A@B output (matmul.py:175-209)."""
+    E = scales.shape[0]
+
+    def one(c):
+        s, z = c
+        B_dq = uq_asym(B, s, z, bits)
+        out = jnp.matmul(A_q, B_dq, preferred_element_type=jnp.float32,
+                          precision=HIGHEST)
+        return _matmul_sim(jnp.square(target - out), head_channel_wise)
+
+    return _map(one, (scales, zps), E, (target.size + B.size) * 4)
+
+
+def score_postsoftmax_base(A, B_q, target, qs, bits: int):
+    """AdaLog log-base (q) scoring for the post-softmax operand, scale frozen
+    at 1.0 (matmul.py:321-358). A in [0, 1]; qs: (E,) -> similarity (E,)."""
+    E = qs.shape[0]
+
+    def one(q):
+        A_dq = adalog_fq_search(A, 1.0, q, bits, clamp_upper=False)
+        out = jnp.matmul(A_dq, B_q, preferred_element_type=jnp.float32,
+                          precision=HIGHEST)
+        return _matmul_sim(jnp.square(target - out), head_channel_wise=False)
+
+    return _map(one, qs, E, (target.size + A.size) * 4)
+
+
+# ---------------------------------------------------------------------------
+# Conv search (patch-embed projection)
+# ---------------------------------------------------------------------------
+
+def score_conv_w_out(x, target, w_flat, conv_dims, scales, zps, bits: int):
+    """Weight-candidate scoring for conv (conv.py:233-264): per-out-channel SSE.
+
+    x: (N, H, W, IC) NHWC (activations pass through unquantized at >=8 bits,
+    conv.py:55-58); target: (N, FH, FW, OC) minus bias; w_flat: (OC, IC*KH*KW);
+    conv_dims: (kh, kw, stride, padding) static; scales/zps: (E, OC, 1).
+    """
+    E = scales.shape[0]
+    kh, kw, stride, padding = conv_dims
+    OC = w_flat.shape[0]
+    IC = x.shape[-1]
+
+    def one(c):
+        s, z = c
+        w_dq = uq_asym(w_flat, s, z, bits).reshape(OC, IC, kh, kw)
+        out = lax.conv_general_dilated(
+            x, jnp.transpose(w_dq, (2, 3, 1, 0)),
+            window_strides=(stride, stride),
+            padding=[(padding, padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32, precision=HIGHEST)
+        # mean over spatial dims, sum over batch -> per-out-channel (conv.py:256)
+        return -jnp.sum(jnp.mean(jnp.square(target - out), axis=(1, 2)), axis=0)
+
+    return _map(one, (scales, zps), E, (target.size + w_flat.size) * 4)
