@@ -1,0 +1,219 @@
+"""Calibration orchestration.
+
+The reference calibrates layer-by-layer: for each quant module it re-runs the
+FULL model over the calibration set with hooks to capture that module's I/O,
+then searches (utils/calibrator.py:30-67) — O(layers) full passes with
+host<->device copies at every hook. Because every module stays in 'raw' mode
+until calibration ends (calibrator.py:65-67), all captured activations are pure
+FP32 — so here we capture EVERY site's I/O in ONE jitted forward pass per
+calibration batch, then run each site's search independently on-device.
+
+The LayerNorm channel reparam (sites wired to a prev norm) rewrites the param
+pytree and that site's cached input, exactly as linear.py:614-621; downstream
+sites are unaffected because the rewrite preserves the composite function.
+
+After all searches, ``finish_calibration`` applies the post-GeLU bias fold
+(test_quant.py:130-133 finish_training) unless block reconstruction follows.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adalog_tpu.utils.config import Config
+from adalog_tpu.models.zoo import ModelSpec, model_forward_fn
+from adalog_tpu.models.layers import LinearSite, ConvSite, MatMulSite
+from adalog_tpu.quantizers.state import (
+    QuantizerState, WeightQuantizerState, GELU_MIN,
+)
+from adalog_tpu.calib.layout import quant_layout, tree_get, tree_set, SiteSpec
+from adalog_tpu.calib import search as SRCH
+from adalog_tpu.calib.reparam import (
+    layernorm_channel_reparam, rewrite_cached_input, fold_gelu_shift_into_bias,
+)
+
+log = logging.getLogger("adalog_tpu")
+
+
+def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray]):
+    """Run the raw model once per batch, capturing every quant site's I/O.
+
+    Returns dict name -> tuple of concatenated arrays (inputs..., output).
+    """
+    fwd = model_forward_fn(spec)
+
+    @jax.jit
+    def run(p, x):
+        _, taps = fwd(spec.cfg, p, x, capture=True)
+        return taps
+
+    per_batch = []
+    for xb in batches:
+        taps = run(params, jnp.asarray(xb))
+        per_batch.append(taps)
+    names = per_batch[0].keys()
+    out = {}
+    for nm in names:
+        arity = len(per_batch[0][nm])
+        out[nm] = tuple(
+            jnp.concatenate([pb[nm][k] for pb in per_batch], axis=0)
+            for k in range(arity))
+    return out
+
+
+def _flat2d(x):
+    return x.reshape(-1, x.shape[-1])
+
+
+class QuantCalibrator:
+    """Functional analog of the reference QuantCalibrator (calibrator.py:9-67)."""
+
+    def __init__(self, spec: ModelSpec, params, cfg: Config,
+                 reparam: bool = True):
+        self.spec = spec
+        self.params = params
+        self.cfg = cfg
+        self.layout = quant_layout(spec, cfg, reparam)
+        self.qstate: Dict[str, object] = {}
+
+    # -- per-family handlers -------------------------------------------------
+
+    def _common(self):
+        c = self.cfg
+        return dict(eq_n=c.eq_n, steps=c.steps, use_fpcs=c.fpcs)
+
+    def _do_conv(self, name, ss: SiteSpec, x, y):
+        p = tree_get(self.params, ss.param_path)
+        kh, kw = p.w.shape[2], p.w.shape[3]
+        w_s, w_z = SRCH.search_conv(
+            x, y, p.w, p.b, w_bits=ss.w_bits,
+            conv_dims=(kh, kw, p.stride[0], p.padding[0]), **self._common())
+        self.qstate[name] = ConvSite(
+            wq=WeightQuantizerState(scale=w_s, zero_point=w_z,
+                                    bits=ss.w_bits, symmetric=False),
+            aq=QuantizerState(scale=jnp.ones((1, 1, 1, 1), jnp.float32),
+                              kind="uniform", bits=ss.a_bits, symmetric=True))
+
+    def _linear_site(self, ss, w_s, w_z, aq) -> LinearSite:
+        return LinearSite(
+            wq=WeightQuantizerState(scale=w_s, zero_point=w_z,
+                                    bits=ss.w_bits, symmetric=False),
+            aq=aq, n_V=ss.n_V)
+
+    def _do_linear(self, name, ss: SiteSpec, x, y):
+        p = tree_get(self.params, ss.param_path)
+        x2, y2 = _flat2d(x), _flat2d(y)
+
+        if ss.kind == "linear_reparam":
+            # stage 1: channel-wise activation self-search (linear.py:585-594)
+            a_s, a_z = SRCH.search_act_channelwise(
+                x2, a_bits=ss.a_bits, **self._common())
+            # stage 2: fold ranges into the preceding LayerNorm (linear.py:614-621)
+            norm = tree_get(self.params, ss.norm_path)
+            new_norm, new_lin, r, b, _, _ = layernorm_channel_reparam(
+                norm, p, a_s, a_z)
+            self.params = tree_set(self.params, ss.norm_path, new_norm)
+            self.params = tree_set(self.params, ss.param_path, new_lin)
+            p = new_lin
+            x2 = rewrite_cached_input(x2, r, b)
+
+        w_s, w_z, a_s, a_z = SRCH.search_linear_default(
+            x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
+            rounds=self.cfg.search_round, **self._common())
+        aq = QuantizerState(scale=a_s, zero_point=a_z, kind="uniform",
+                            bits=ss.a_bits, symmetric=False)
+        self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
+
+    def _do_postgelu(self, name, ss: SiteSpec, x, y):
+        p = tree_get(self.params, ss.param_path)
+        x2, y2 = _flat2d(x), _flat2d(y)
+        if ss.kind == "postgelu_twin":
+            w_s, w_z, s_pos, s_neg = SRCH.search_linear_postgelu_twin(
+                x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits,
+                n_V=ss.n_V, rounds=self.cfg.search_round, **self._common())
+            aq = QuantizerState(scale=jnp.stack([s_pos, s_neg]),
+                                kind="twin", bits=ss.a_bits)
+        else:
+            shift = jnp.float32(GELU_MIN)
+            w_s, w_z, a_s, q = SRCH.search_linear_postgelu_adalog(
+                x2, y2, p.w, p.b, shift, w_bits=ss.w_bits, a_bits=ss.a_bits,
+                n_V=ss.n_V, rounds=self.cfg.search_round, **self._common())
+            kind = ss.post_quantizer  # adalog | log2 | logsqrt2 (linear.py:990-994)
+            aq = QuantizerState(
+                scale=a_s, shift=jnp.full((1,), GELU_MIN, jnp.float32),
+                log_q=q if kind == "adalog" else None,
+                bias_reparamed=jnp.zeros((), jnp.bool_),
+                kind=kind, bits=ss.a_bits, shifted=True)
+        self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
+
+    def _do_matmul(self, name, ss: SiteSpec, A, B, y):
+        hcw = self.cfg.matmul_head_channel_wise
+        if ss.kind == "matmul":
+            A_s, A_z, B_s, B_z = SRCH.search_matmul(
+                A, B, y, A_bits=ss.s_bits, B_bits=ss.a_bits,
+                rounds=self.cfg.search_round, head_cw=hcw, **self._common())
+            Aq = QuantizerState(scale=A_s, zero_point=A_z, kind="uniform",
+                                bits=ss.s_bits, symmetric=False)
+        else:
+            q, B_s, B_z = SRCH.search_matmul_postsoftmax(
+                A, B, y, A_bits=ss.s_bits, B_bits=ss.a_bits,
+                rounds=self.cfg.search_round, head_cw=hcw,
+                a_kind=ss.post_quantizer, **self._common())
+            Aq = QuantizerState(
+                scale=jnp.ones((1, 1, 1, 1), jnp.float32),
+                log_q=q if ss.post_quantizer == "adalog" else None,
+                kind=ss.post_quantizer, bits=ss.s_bits)
+        Bq = QuantizerState(scale=B_s, zero_point=B_z, kind="uniform",
+                            bits=ss.a_bits, symmetric=False)
+        self.qstate[name] = MatMulSite(Aq=Aq, Bq=Bq)
+
+    # -- driver --------------------------------------------------------------
+
+    def calibrate(self, batches: List[np.ndarray]):
+        """Full calibration: capture once, then search every site.
+
+        Returns (params, qstate) — params possibly reparameterized.
+        """
+        t0 = time.time()
+        taps = capture_all_sites(self.spec, self.params, batches)
+        log.info("capture: %d sites in %.1fs", len(taps), time.time() - t0)
+
+        for name, ss in self.layout.items():
+            t1 = time.time()
+            tap = taps[name]
+            if ss.kind == "conv":
+                self._do_conv(name, ss, *tap)
+            elif ss.kind in ("matmul", "matmul_post"):
+                self._do_matmul(name, ss, *tap)
+            else:
+                self._do_linear(name, ss, *tap) if ss.kind in (
+                    "linear", "linear_reparam") else \
+                    self._do_postgelu(name, ss, *tap)
+            # free this site's captures eagerly (device memory)
+            taps[name] = None
+            log.info("calibrated %-38s [%s] in %.2fs", name, ss.kind,
+                     time.time() - t1)
+        return self.params, self.qstate
+
+    def finish_calibration(self):
+        """Post-GeLU bias fold for every shifted-log fc2 site
+        (test_quant.py:130-133 finish_training)."""
+        for name, ss in self.layout.items():
+            site = self.qstate.get(name)
+            if site is None or ss.kind != "postgelu" or \
+                    not getattr(site.aq, "shifted", False):
+                continue
+            if bool(site.aq.bias_reparamed):
+                continue
+            p = tree_get(self.params, ss.param_path)
+            new_lin = fold_gelu_shift_into_bias(p, site, shift=GELU_MIN)
+            self.params = tree_set(self.params, ss.param_path, new_lin)
+            self.qstate[name] = site.replace(
+                aq=site.aq.replace(bias_reparamed=jnp.ones((), jnp.bool_)))
+        return self.params, self.qstate

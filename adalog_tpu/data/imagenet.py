@@ -1,0 +1,152 @@
+"""ImageNet data pipeline.
+
+Replaces the reference's torchvision ImageFolder + timm transform stack
+(utils/datasets.py): directory scanning, PIL decode, timm-equivalent eval
+preprocessing (resize shorter side to size/crop_pct with bicubic, center crop,
+normalize with the model's mean/std — what resolve_data_config/create_transform
+produced for these models, datasets.py:125-130), a threaded prefetching batch
+iterator producing NHWC float32 numpy, and the seeded in-memory calibration
+subset (np.random.permutation of the train set, datasets.py:62-71).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import queue
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:                      # pragma: no cover
+    Image = None
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def scan_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
+    """ImageFolder protocol: root/<class_name>/<image>; classes sorted."""
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    paths, labels = [], []
+    for ci, cname in enumerate(classes):
+        cdir = os.path.join(root, cname)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.lower().endswith(IMG_EXTENSIONS):
+                paths.append(os.path.join(cdir, fname))
+                labels.append(ci)
+    return paths, labels, classes
+
+
+def load_eval_image(path: str, img_size: int, crop_pct: float,
+                    mean, std) -> np.ndarray:
+    """timm eval transform: bicubic resize of the shorter side to
+    round(size/crop_pct), center crop, normalize. Returns (H, W, 3) float32."""
+    scale_size = int(round(img_size / crop_pct))
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    if w <= h:
+        nw, nh = scale_size, int(round(h * scale_size / w))
+    else:
+        nh, nw = scale_size, int(round(w * scale_size / h))
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - img_size) // 2
+    top = (nh - img_size) // 2
+    img = img.crop((left, top, left + img_size, top + img_size))
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+class ImageNetLoader:
+    """Loader factory bound to one model's preprocessing spec."""
+
+    def __init__(self, root: str, spec, val_batch_size: int = 200,
+                 num_workers: int = 4):
+        self.root = root
+        self.spec = spec
+        self.val_batch_size = val_batch_size
+        self.num_workers = max(1, num_workers)
+        self._train: Optional[Tuple[List[str], List[int]]] = None
+        self._val: Optional[Tuple[List[str], List[int]]] = None
+
+    @property
+    def img_size(self) -> int:
+        return self.spec.cfg.img_size
+
+    def _split(self, name: str):
+        paths, labels, _ = scan_image_folder(os.path.join(self.root, name))
+        return paths, labels
+
+    def _load(self, path: str) -> np.ndarray:
+        s = self.spec
+        return load_eval_image(path, self.img_size, s.crop_pct, s.mean, s.std)
+
+    def _batches(self, paths, labels, batch_size) -> Iterator:
+        """Threaded decode + batch assembly; yields (images NHWC, labels)."""
+        n = len(paths)
+        order = range(0, n, batch_size)
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def worker():
+            for st in order:
+                ed = min(n, st + batch_size)
+                imgs = np.stack([self._load(p) for p in paths[st:ed]])
+                q.put((imgs, np.asarray(labels[st:ed], np.int32)))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    def val_loader(self) -> Iterator:
+        if self._val is None:
+            self._val = self._split("val")
+        return self._batches(*self._val, self.val_batch_size)
+
+    def calib_batches(self, num: int, batch_size: int,
+                      seed: int = 3) -> List[np.ndarray]:
+        """Seeded permutation of the TRAIN set, preloaded in memory
+        (datasets.py:62-71 semantics, same np.random seeding)."""
+        if self._train is None:
+            self._train = self._split("train")
+        paths, labels = self._train
+        np.random.seed(seed)
+        inds = np.random.permutation(len(paths))[:num]
+        imgs = np.stack([self._load(paths[i]) for i in inds])
+        return [imgs[st:st + batch_size]
+                for st in range(0, num, batch_size)]
+
+
+class SyntheticLoader:
+    """Deterministic stand-in when no ImageNet is on disk: seeded gaussian
+    images + labels. Used by tests and hardware benchmarks."""
+
+    def __init__(self, spec, val_batch_size: int = 200, n_val: int = 1000,
+                 num_classes: int = 1000, seed: int = 0):
+        self.spec = spec
+        self.val_batch_size = val_batch_size
+        self.n_val = n_val
+        self.num_classes = num_classes
+        self.seed = seed
+
+    def _gen(self, rng, n):
+        s = self.spec.cfg.img_size
+        return rng.standard_normal((n, s, s, 3)).astype(np.float32)
+
+    def val_loader(self):
+        rng = np.random.default_rng(self.seed)
+        for st in range(0, self.n_val, self.val_batch_size):
+            n = min(self.val_batch_size, self.n_val - st)
+            yield self._gen(rng, n), rng.integers(
+                0, self.num_classes, n).astype(np.int32)
+
+    def calib_batches(self, num: int, batch_size: int, seed: int = 3):
+        rng = np.random.default_rng(seed)
+        imgs = self._gen(rng, num)
+        return [imgs[st:st + batch_size] for st in range(0, num, batch_size)]

@@ -1,0 +1,52 @@
+"""Device-mesh parallelism.
+
+The reference is hard-coded single-GPU (SURVEY.md §2: no torch.distributed
+anywhere; device pinning at test_quant.py:156-159). The TPU-native scaling
+story replaces that with a jax.sharding Mesh:
+
+  - eval / BRECQ training: data-parallel over the batch axis — the batch is
+    sharded with P('dp'); XLA GSPMD inserts the psum for loss/grad reductions
+    over ICI. (The reference's per-batch accumulations at linear.py:340-345
+    are embarrassingly data-parallel.)
+  - calibration scoring: the flattened token axis is sharded with P('dp');
+    every similarity reduction over tokens becomes a psum. Candidates and
+    weights are replicated — at eq_n=128 and ViT-size weights, replication is
+    cheaper than an all-to-all re-shard per FPCS step.
+
+All sharding is expressed with in_shardings/NamedSharding on jitted functions;
+no explicit collectives are written — the compiler lays them on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def dp(mesh: Mesh, ndim: int, axis: str = "dp") -> NamedSharding:
+    """Shard leading axis over the mesh, replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Mesh):
+    """Pad-free placement of a batch onto the dp axis (batch must divide)."""
+    return jax.device_put(x, dp(mesh, x.ndim))
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)

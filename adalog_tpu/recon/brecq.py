@@ -1,0 +1,266 @@
+"""BRECQ/AdaRound block reconstruction.
+
+Functional re-design of the reference BlockReconstructor (block_recon.py):
+per block, capture raw I/O from the pristine FP32 model, attach AdaRound
+rounding logits to every weight quantizer in the block, and run ``iters``
+gradient steps on (alpha, activation scales) to minimize block-output MSE plus
+the rounding-relaxation penalty — then freeze hard rounding into the weights.
+
+TPU-native structure: the entire 20k-iteration loop is ONE jitted lax.scan —
+batch sampling (jax.random.permutation, the randperm analog of
+block_recon.py:115), the quantized block forward in training mode (STE paths),
+optax Adam updates and the temperature schedule all trace into a single XLA
+program per block shape. No per-iteration Python dispatch.
+
+Because every block trains against pristine-model I/O, blocks are mutually
+independent — the sequential loop here is a memory choice, not a data
+dependency (the reference inherits the same property: block_recon.py:62-82
+captures from full_model with all quant blocks set raw).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Dict, List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from adalog_tpu.utils.config import Config
+from adalog_tpu.models.zoo import ModelSpec, model_forward_fn
+from adalog_tpu.models.layers import LinearSite, ConvSite, MatMulSite
+from adalog_tpu.models.layers import linear_view, conv_view
+from adalog_tpu.quantizers.adaround import (
+    adaround_init_alpha, adaround_soft_targets, adaround_hard_weight,
+)
+from adalog_tpu.calib.layout import tree_get, tree_set
+from adalog_tpu.recon.blocks import block_units, BlockUnit
+
+log = logging.getLogger("adalog_tpu")
+
+ROUND_WEIGHT = 0.01          # block_recon.py:86 (weight=0.01)
+B_RANGE = (20.0, 2.0)        # block_recon.py:85 b_range
+WARMUP = 0.2                 # block_recon.py:85
+W_LR = 1e-3                  # torch.optim.Adam default (block_recon.py:108)
+A_LR = 4e-5                  # block_recon.py:85 lr
+
+
+def capture_block_io(spec: ModelSpec, params_full, batches: List[np.ndarray]):
+    """One pass over the optimization set through the pristine model, spilling
+    every block unit's (input, output) to host memory.
+
+    Replaces the reference's per-block full-model re-runs
+    (block_recon.py:62-82) with a single capture; identical tensors because all
+    blocks are raw in both cases.
+    """
+    fwd = model_forward_fn(spec)
+
+    @jax.jit
+    def run(p, x):
+        _, taps = fwd(spec.cfg, p, x, capture_blocks=True)
+        return taps
+
+    acc: Dict[str, list] = {}
+    for xb in batches:
+        taps = run(params_full, jnp.asarray(xb))
+        for nm, (tin, tout) in taps.items():
+            acc.setdefault(nm, []).append(
+                (np.asarray(tin), np.asarray(tout)))
+    return {nm: (np.concatenate([a for a, _ in v], axis=0),
+                 np.concatenate([b for _, b in v], axis=0))
+            for nm, v in acc.items()}
+
+
+def _b_temperature(t, iters: int):
+    """LinearTempDecay (block_recon.py:221-238): b=20 until warmup*iters, then
+    linear decay to 2."""
+    start_decay = WARMUP * iters
+    rel = (t - start_decay) / (iters - start_decay)
+    return jnp.where(t < start_decay, B_RANGE[0],
+                     B_RANGE[1] + (B_RANGE[0] - B_RANGE[1]) *
+                     jnp.maximum(0.0, 1.0 - rel))
+
+
+def _rec_loss(pred, tgt, kind: str):
+    if kind == "kl":
+        # F.kl_div(log_softmax(pred), softmax(tgt), 'batchmean')
+        lp = jax.nn.log_softmax(pred, axis=-1)
+        t = jax.nn.softmax(tgt, axis=-1)
+        return (jnp.sum(jax.scipy.special.xlogy(t, t)) -
+                jnp.sum(t * lp)) / pred.shape[0]
+    # lp_loss p=2 'none': (pred-tgt)^2 summed over dim 1, then mean; /10
+    err = jnp.square(pred - tgt)
+    return jnp.mean(jnp.sum(err, axis=1)) / 10.0
+
+
+def _viewed_weight(p, site):
+    if isinstance(site, ConvSite):
+        return conv_view(p.w)
+    return linear_view(p.w, site.n_V)
+
+
+def _merge_trainables(qstate_block, trainables, quant_act: bool):
+    """Insert trainable leaves into the block's quant-site states."""
+    out = dict(qstate_block)
+    for nm, tr in trainables["w"].items():
+        site = out[nm]
+        out[nm] = site.replace(wq=site.wq.replace(alpha=tr))
+    if quant_act:
+        for nm, tr in trainables["a"].items():
+            site = out[nm]
+            if isinstance(site, MatMulSite):
+                out[nm] = site.replace(
+                    Aq=site.Aq.replace(scale=tr["A"]),
+                    Bq=site.Bq.replace(scale=tr["B"]))
+            else:
+                out[nm] = site.replace(aq=site.aq.replace(scale=tr["a"]))
+    return out
+
+
+class BlockReconstructor:
+    """Functional analog of reference BlockReconstructor (block_recon.py:17-157)."""
+
+    def __init__(self, spec: ModelSpec, params, params_full, qstate, layout,
+                 cfg: Config):
+        self.spec = spec
+        self.params = params
+        self.params_full = params_full
+        self.qstate = dict(qstate)
+        self.layout = layout
+        self.cfg = cfg
+
+    def _site_modes(self, unit: BlockUnit, quant_act: bool):
+        """Per-site modes during training (block_recon.py:96-107): linear/conv
+        quantize weights always, acts only when quant_act; matmuls raw unless
+        quant_act."""
+        modes = {}
+        for nm in unit.site_names:
+            site = self.qstate.get(nm)
+            if site is None:
+                continue
+            if isinstance(site, MatMulSite):
+                modes[nm] = "quant" if quant_act else "raw"
+            else:
+                modes[nm] = "quant" if quant_act else "w_only"
+        return modes
+
+    def _init_trainables(self, unit: BlockUnit, quant_act: bool):
+        w_tr, a_tr = {}, {}
+        for nm in unit.site_names:
+            site = self.qstate.get(nm)
+            if site is None:
+                continue
+            ss = self.layout[nm]
+            if isinstance(site, MatMulSite):
+                if quant_act:
+                    a_tr[nm] = {"A": site.Aq.scale, "B": site.Bq.scale}
+                continue
+            p = tree_get(self.params, ss.param_path)
+            w_v = _viewed_weight(p, site)
+            w_tr[nm] = adaround_init_alpha(w_v, site.wq.scale)
+            if quant_act:
+                a_tr[nm] = {"a": site.aq.scale}
+        return {"w": w_tr, "a": a_tr}
+
+    def _train_block(self, unit: BlockUnit, raw_in, raw_out, quant_act: bool,
+                     rec_kind: str, seed: int = 0):
+        cfg = self.cfg
+        iters = cfg.recon_iters
+        batch = cfg.optim_batch_size
+        modes = self._site_modes(unit, quant_act)
+        qstate_block = {nm: self.qstate[nm] for nm in unit.site_names
+                        if nm in self.qstate}
+        trainables = self._init_trainables(unit, quant_act)
+        params = self.params
+        n = raw_in.shape[0]
+        loss_start = WARMUP * iters
+
+        opt = optax.multi_transform(
+            {"w": optax.adam(W_LR),
+             "a": optax.adam(optax.cosine_decay_schedule(A_LR, iters, 0.0))},
+            param_labels={"w": "w", "a": "a"})
+        opt_state = opt.init(trainables)
+
+        def loss_fn(tr, xb, yb, t):
+            qs = _merge_trainables(qstate_block, tr, quant_act)
+            pred = unit.forward(params, qs, xb, modes, True, True)
+            rec = _rec_loss(pred, yb, rec_kind)
+            b = _b_temperature(t, iters)
+            rnd = 0.0
+            for alpha in jax.tree_util.tree_leaves(tr["w"]):
+                s = adaround_soft_targets(alpha)
+                rnd = rnd + jnp.sum(1.0 - jnp.abs(2.0 * s - 1.0) ** b)
+            rnd = ROUND_WEIGHT * rnd * (t >= loss_start)
+            return rec + rnd, rec
+
+        @jax.jit
+        def train(rin, rout, tr0, key):
+            def step(carry, t):
+                tr, ost, k = carry
+                k, sub = jax.random.split(k)
+                idx = jax.random.permutation(sub, n)[:batch]
+                xb = jnp.take(rin, idx, axis=0)
+                yb = jnp.take(rout, idx, axis=0)
+                (loss, rec), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(tr, xb, yb, t)
+                updates, ost = opt.update(grads, ost, tr)
+                tr = optax.apply_updates(tr, updates)
+                return (tr, ost, k), rec
+
+            (tr, _, _), recs = jax.lax.scan(
+                step, (tr0, opt_state, key),
+                jnp.arange(iters, dtype=jnp.float32))
+            return tr, recs
+
+        key = jax.random.PRNGKey(seed)
+        tr, recs = train(jnp.asarray(raw_in), jnp.asarray(raw_out),
+                         trainables, key)
+        return jax.device_get(tr), float(recs[0]), float(recs[-1])
+
+    def _freeze_block(self, unit: BlockUnit, trainables, quant_act: bool):
+        """Write back trained act scales; freeze hard-rounded weights into the
+        params and drop alpha (block_recon.py:128-137, 151-157)."""
+        for nm, alpha in trainables["w"].items():
+            site = self.qstate[nm]
+            ss = self.layout[nm]
+            p = tree_get(self.params, ss.param_path)
+            w_v = _viewed_weight(p, site)
+            w_hard = adaround_hard_weight(w_v, site.wq.scale,
+                                          jnp.asarray(alpha))
+            self.params = tree_set(
+                self.params, ss.param_path,
+                p.replace(w=w_hard.reshape(p.w.shape)))
+        if quant_act:
+            for nm, tr in trainables["a"].items():
+                site = self.qstate[nm]
+                if isinstance(site, MatMulSite):
+                    self.qstate[nm] = site.replace(
+                        Aq=site.Aq.replace(scale=jnp.asarray(tr["A"])),
+                        Bq=site.Bq.replace(scale=jnp.asarray(tr["B"])))
+                else:
+                    self.qstate[nm] = site.replace(
+                        aq=site.aq.replace(scale=jnp.asarray(tr["a"])))
+
+    def reconstruct(self, batches: List[np.ndarray], quant_act: bool = True):
+        """Reconstruct every block unit; returns (params, qstate)."""
+        t0 = time.time()
+        io = capture_block_io(self.spec, self.params_full, batches)
+        log.info("block capture: %d units in %.1fs", len(io), time.time() - t0)
+
+        for unit in block_units(self.spec):
+            if unit.name not in io:
+                continue
+            raw_in, raw_out = io[unit.name]
+            rec_kind = "kl" if unit.name.endswith("head") else "mse"
+            t1 = time.time()
+            tr, rec0, rec1 = self._train_block(
+                unit, raw_in, raw_out, quant_act, rec_kind)
+            self._freeze_block(unit, tr, quant_act)
+            io[unit.name] = None
+            log.info("reconstructed %-28s rec %.4f -> %.4f in %.1fs",
+                     unit.name, rec0, rec1, time.time() - t1)
+        return self.params, self.qstate

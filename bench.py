@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Hardware benchmark. Prints ONE JSON line for the driver.
+
+Headline metric: full FPCS calibration wall-clock for deit_small at W4A4
+(calib_size 32, eq_n 128, search_round 3, steps 6 — the shipped 4-bit config).
+This is the pipeline stage the reference spends its wall-clock on (SURVEY.md
+§3.1 HOT paths). The reference repo publishes no latency/throughput numbers
+(BASELINE.md); vs_baseline is computed against REF_BASELINE_S, a documented
+estimate of the reference's single-GPU calibration wall-clock for this config
+(the paper family reports tens-of-minutes-scale GPU calibration; we use a
+conservative 600 s). Secondary metrics go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_BASELINE_S = 600.0  # documented estimate; no published reference number
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adalog_tpu.models.zoo import build_model, model_forward_fn
+    from adalog_tpu.utils.config import Config
+    from adalog_tpu.calib.calibrator import QuantCalibrator
+    from adalog_tpu.calib.init_state import init_qstate
+
+    log(f"devices: {jax.devices()}")
+    model = "deit_small"
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    spec, params = build_model(model, seed=0)
+
+    rng = np.random.default_rng(0)
+    batches = [rng.standard_normal((32, 224, 224, 3)).astype(np.float32)]
+
+    # --- headline: calibration wall-clock (includes compile; compiles are
+    # cached across layers of the same shape) ---
+    t0 = time.time()
+    calib = QuantCalibrator(spec, params, cfg)
+    new_params, qstate = calib.calibrate(batches)
+    new_params, qstate = calib.finish_calibration()
+    jax.block_until_ready(jax.tree_util.tree_leaves(qstate)[0])
+    calib_s = time.time() - t0
+    log(f"calibration wall-clock: {calib_s:.1f}s")
+
+    # --- secondary: quantized eval throughput ---
+    fwd = model_forward_fn(spec)
+
+    def make_eval(dtype):
+        @jax.jit
+        def f(x):
+            p = jax.tree_util.tree_map(lambda a: a.astype(dtype), new_params)
+            return fwd(spec.cfg, p, x.astype(dtype), qstate,
+                       {"*": "quant"}).astype(jnp.float32)
+        return f
+
+    x = jnp.asarray(rng.standard_normal((128, 224, 224, 3)).astype(np.float32))
+    for name, dtype in [("fp32", jnp.float32), ("bf16", jnp.bfloat16)]:
+        f = make_eval(dtype)
+        jax.block_until_ready(f(x))          # compile
+        t1 = time.time()
+        iters = 10
+        for _ in range(iters):
+            out = f(x)
+        jax.block_until_ready(out)
+        ips = 128 * iters / (time.time() - t1)
+        log(f"quant eval throughput ({name}): {ips:.0f} img/s")
+
+    print(json.dumps({
+        "metric": f"{model}_w4a4_fpcs_calibration_wallclock",
+        "value": round(calib_s, 1),
+        "unit": "seconds",
+        "vs_baseline": round(REF_BASELINE_S / calib_s, 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
