@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from adalog_tpu.calib import candidates as C
 from adalog_tpu.ops import scoring as S
@@ -46,21 +47,34 @@ def fpcs(score2d, scales, zps, *, eq_n: int, steps: int, width: int = 16,
     is exactly the reference's fpcs=False path (linear.py:530-534).
     Refine grid per reference linear.py:491-502: offsets (linspace(0,1,cnt)-.5)
     times the current delta, delta shrinking by (cnt-0.5) each step.
+
+    The refine iterations are a lax.scan (identical structure each step, the
+    scoring body traces ONCE) — compile time stays flat in ``steps``.
     """
-    delta = scales[1] - scales[0]                 # (U,) adjacent-scale step
+    delta0 = scales[1] - scales[0]                # (U,) adjacent-scale step
     cnt = eq_n // width
-    sims = score2d(scales, zps)
-    for step in range(steps - 1):
-        k_scales, k_zps = _topk_gather(sims, scales, zps, width)
-        offs = (jnp.linspace(0.0, 1.0, cnt)[:, None] - 0.5) * delta  # (cnt, U)
-        scales = (k_scales[:, None, :] + offs[None, :, :]).reshape(eq_n, -1)
+    sims0 = score2d(scales, zps)
+    if steps == 1:
+        best_s, best_z = _topk_gather(sims0, scales, zps, 1)
+        return best_s[0], best_z[0]
+    k0 = _topk_gather(sims0, scales, zps, width)
+    offs_unit = jnp.linspace(0.0, 1.0, cnt)[:, None] - 0.5   # (cnt, 1)
+
+    def body(carry, _):
+        (k_s, k_z), delta = carry
+        cands_s = (k_s[:, None, :] + offs_unit[None, :, :] * delta
+                   ).reshape(eq_n, -1)
         if clamp_min is not None:
-            scales = jnp.clip(scales, clamp_min, None)
-        zps = jnp.repeat(k_zps, cnt, axis=0)
-        delta = delta / (cnt - 0.5)
-        sims = score2d(scales, zps)
-    best_s, best_z = _topk_gather(sims, scales, zps, 1)
-    return best_s[0], best_z[0]
+            cands_s = jnp.clip(cands_s, clamp_min, None)
+        cands_z = jnp.repeat(k_z, cnt, axis=0)
+        sims = score2d(cands_s, cands_z)
+        k_next = _topk_gather(sims, cands_s, cands_z, width)
+        best = _topk_gather(sims, cands_s, cands_z, 1)
+        return (k_next, delta / (cnt - 0.5)), best
+
+    (_, _), bests = lax.scan(body, (k0, delta0), None, length=steps - 1)
+    best_s, best_z = bests
+    return best_s[-1][0], best_z[-1][0]
 
 
 def _steps(fpcs_on: bool, steps: int) -> int:
@@ -112,20 +126,26 @@ def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
                                       ).reshape(eq_n, 1),
         as0, az0, eq_n=eq_n, steps=st, clamp_min=1e-4)
 
-    # ---- rounds: output-MSE searches (linear.py:536-542) ----
-    for _ in range(rounds):
+    # ---- rounds: output-MSE searches (linear.py:536-542), as one lax.scan
+    # (the percentile candidate grids are data-independent across rounds, so
+    # they are hoisted and reused — identical to the reference's per-round
+    # regeneration) ----
+    def round_body(carry, _):
+        w_s, w_z, a_s, a_z = carry
         x_q = S.uq_asym(x, a_s, a_z, a_bits)
-        ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
         w_s, w_z = fpcs(
             lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
                                               w_bits).reshape(eq_n, V * R),
             ws0, wz0, eq_n=eq_n, steps=st)
         w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
-        as0, az0 = C.act_candidates(x, a_bits, eq_n, channel_wise=False)
         a_s, a_z = fpcs(
             lambda s, z: S.score_linear_a_out(x, tgt, w_q2, s, z, a_bits
                                               )[:, None],
             as0, az0, eq_n=eq_n, steps=st, clamp_min=1e-4)
+        return (w_s, w_z, a_s, a_z), None
+
+    (w_s, w_z, a_s, a_z), _ = lax.scan(
+        round_body, (w_s, w_z, a_s, a_z), None, length=rounds)
 
     return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1), a_s, a_z)
 
@@ -175,8 +195,11 @@ def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
     q = jnp.asarray(37.0)
 
     q_grid = jnp.arange(10, 10 + eq_n, dtype=jnp.float32)
+    scale16 = (ud[0] + (ud[1] - ud[0]) *
+               (jnp.arange(16, dtype=jnp.float32) / 15.0))
 
-    for _ in range(rounds):
+    def round_body(carry, _):
+        w_s, w_z, a_s, q = carry
         w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
         if use_fpcs:
             # stage 1: top base_num=8 log bases at the current scale
@@ -185,15 +208,13 @@ def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
                 q_grid[:, None], a_bits)
             _, q_idx = jax.lax.top_k(sims_q, 8)
             # stage 2: joint (scale, q): 16 scales x 8 bases, width-32 FPCS
-            scale16 = (ud[0] + (ud[1] - ud[0]) *
-                       (jnp.arange(16, dtype=jnp.float32) / 15.0))
             joint_s = jnp.tile(scale16, 8)[:, None]                  # (128, 1)
             joint_q = jnp.repeat(q_grid[q_idx], 16)[:, None]         # (128, 1)
-            a_s, qv = fpcs(
+            a_s2d, qv = fpcs(
                 lambda s, z: S.score_linear_a_out_adalog(
                     x, tgt, w_q2, shift, s, z, a_bits)[:, None],
                 joint_s, joint_q, eq_n=eq_n, steps=st, width=32)
-            q = qv[0]
+            a_s, q = a_s2d, qv[0]
         else:
             # non-fpcs: independent base then scale argmax (linear.py:985-986)
             sims_q = S.score_linear_a_out_adalog(
@@ -206,11 +227,15 @@ def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
             a_s = scale_grid[jnp.argmax(sims_s)]
         # weight output-MSE with the AdaLog-quantized input
         x_q = S.adalog_fq_search(x + shift, a_s, q, a_bits) - shift
-        ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
         w_s, w_z = fpcs(
             lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
                                               w_bits).reshape(eq_n, V * R),
             ws0, wz0, eq_n=eq_n, steps=st)
+        return (w_s, w_z, jnp.reshape(a_s, (1,)), q), None
+
+    (w_s, w_z, a_s, q), _ = lax.scan(
+        round_body, (w_s, w_z, jnp.reshape(a_s, (1,)), q), None,
+        length=rounds)
 
     return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1),
             jnp.reshape(a_s, (1,)), q)
@@ -250,19 +275,22 @@ def search_linear_postgelu_twin(x, y, w, b, *, w_bits: int, a_bits: int,
     # covers indices 0..eq_n-1 of a 30-point grid)
     pos_grid = (jnp.exp2(jnp.arange(-5, 24, dtype=jnp.float32)) * s_neg)[:, None]
 
-    for _ in range(rounds):
+    def round_body(carry, _):
+        w_s, w_z, s_pos = carry
         w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
         sims = S.score_linear_a_out_twin(x, tgt, w_q2, pos_grid, s_neg, a_bits)
         s_pos = pos_grid[jnp.argmax(sims)]
         x_pos = jnp.clip(jnp.round(x / s_pos), 0, N - 1) * s_pos
         x_neg = jnp.clip(jnp.round(x / s_neg), -N, 0) * s_neg
         x_q = x_pos + x_neg
-        ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
         w_s, w_z = fpcs(
             lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
                                               w_bits).reshape(eq_n, V * R),
             ws0, wz0, eq_n=eq_n, steps=st)
+        return (w_s, w_z, s_pos), None
 
+    (w_s, w_z, s_pos), _ = lax.scan(round_body, (w_s, w_z, s_pos), None,
+                                    length=rounds)
     return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1), s_pos, s_neg)
 
 
@@ -299,7 +327,8 @@ def search_matmul(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
     def nat(u):
         return u.reshape(1, U, 1, 1)
 
-    for _ in range(rounds):
+    def round_body(carry, _):
+        A_s, A_z, B_s, B_z = carry
         B_q = S.uq_asym(B, nat(B_s), nat(B_z), B_bits)
         A_s, A_z = fpcs(
             lambda s, z: S.score_matmul_opA(
@@ -312,7 +341,10 @@ def search_matmul(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
                 A_q, B, y, *_mm_expand(s, z, H, head_cw), B_bits,
                 head_channel_wise=head_cw).reshape(eq_n, U),
             Bs0, Bz0, eq_n=eq_n, steps=st)
+        return (A_s, A_z, B_s, B_z), None
 
+    (A_s, A_z, B_s, B_z), _ = lax.scan(round_body, (A_s, A_z, B_s, B_z),
+                                       None, length=rounds)
     return nat(A_s), nat(A_z), nat(B_s), nat(B_z)
 
 
@@ -343,22 +375,29 @@ def search_matmul_postsoftmax(A, B, y, *, A_bits: int, B_bits: int, eq_n: int,
     def nat(u):
         return u.reshape(1, U, 1, 1)
 
-    n_rounds = rounds if search_base else 1
-    for _ in range(n_rounds):
-        if search_base:
-            B_q = S.uq_asym(B, nat(B_s), nat(B_z), B_bits)
-            sims = S.score_postsoftmax_base(A, B_q, y, q_grid, A_bits)
-            q = q_grid[jnp.argmax(sims)]
-            A_q = S.adalog_fq_search(A, 1.0, q, A_bits, clamp_upper=False)
-        elif a_kind == "log2":
-            A_q = log2_quant(A, jnp.float32(1.0), bits=A_bits)
-        else:
-            A_q = logsqrt2_quant(A, jnp.float32(1.0), bits=A_bits)
-        B_s, B_z = fpcs(
+    def b_fpcs(A_q, B_s, B_z):
+        return fpcs(
             lambda s, z: S.score_matmul_opB(
                 A_q, B, y, *_mm_expand(s, z, H, head_cw), B_bits,
                 head_channel_wise=head_cw).reshape(eq_n, U),
             Bs0, Bz0, eq_n=eq_n, steps=st)
+
+    if search_base:
+        def round_body(carry, _):
+            q, B_s, B_z = carry
+            B_q = S.uq_asym(B, nat(B_s), nat(B_z), B_bits)
+            sims = S.score_postsoftmax_base(A, B_q, y, q_grid, A_bits)
+            q = q_grid[jnp.argmax(sims)]
+            A_q = S.adalog_fq_search(A, 1.0, q, A_bits, clamp_upper=False)
+            B_s, B_z = b_fpcs(A_q, B_s, B_z)
+            return (q, B_s, B_z), None
+
+        (q, B_s, B_z), _ = lax.scan(round_body, (q, B_s, B_z), None,
+                                    length=rounds)
+    else:
+        A_q = (log2_quant if a_kind == "log2" else logsqrt2_quant)(
+            A, jnp.float32(1.0), bits=A_bits)
+        B_s, B_z = b_fpcs(A_q, B_s, B_z)
 
     return q, nat(B_s), nat(B_z)
 

@@ -98,6 +98,8 @@ def seed_all(seed: int):
 
 def main(args):
     import jax
+    from adalog_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from adalog_tpu.utils.config import Config, load_config

@@ -26,6 +26,8 @@ def log(msg):
 
 def main():
     import jax
+    from adalog_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from adalog_tpu.models.zoo import build_model, model_forward_fn

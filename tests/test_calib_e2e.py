@@ -38,13 +38,13 @@ def calibrated():
     rng = np.random.default_rng(1)
     batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
     calib = QuantCalibrator(TinySpec, params, cfg)
-    new_params, qstate = calib.calibrate(batches)
+    prefold_params, _ = calib.calibrate(batches)
     new_params, qstate = calib.finish_calibration()
-    return params, new_params, qstate, batches, calib
+    return params, new_params, qstate, batches, calib, prefold_params
 
 
 def test_all_sites_calibrated(calibrated):
-    _, _, qstate, _, calib = calibrated
+    _, _, qstate, _, calib, _ = calibrated
     assert set(qstate) == set(calib.layout)
     # reparam created per-tensor act quantizers on qkv/fc1
     site = qstate["blocks.0.attn.qkv"]
@@ -61,23 +61,18 @@ def test_all_sites_calibrated(calibrated):
 
 
 def test_reparam_preserves_fp32_forward(calibrated):
-    """The reparameterized params compute the same FP32 function."""
-    params0, params1, _, batches, _ = calibrated
+    """The LayerNorm channel reparam preserves the FP32 function exactly
+    (pre-fold params: the GeLU bias fold intentionally changes the raw
+    function, so it is excluded here)."""
+    params0, _, _, batches, _, prefold = calibrated
     x = jnp.asarray(batches[0])
-    y0 = vit_forward(CFG, params0, x)
-    # undo the GeLU-shift bias fold effect by comparing through raw mode:
-    # raw forward ignores quantizers but DOES see the folded fc2 bias, so
-    # compare only through the pre-fold reparam (qkv/fc1) by checking heads
-    # stay finite and close; the fold shifts fc2 bias by quantized-weight*shift.
-    y1 = vit_forward(CFG, params1, x)
-    assert np.isfinite(np.asarray(y1)).all()
-    # direction of prediction (argmax agreement) should be mostly preserved
-    agree = (np.argmax(np.asarray(y0), -1) == np.argmax(np.asarray(y1), -1))
-    assert agree.mean() >= 0.5
+    y0 = np.asarray(vit_forward(CFG, params0, x))
+    y1 = np.asarray(vit_forward(CFG, prefold, x))
+    np.testing.assert_allclose(y1, y0, rtol=5e-3, atol=5e-3)
 
 
 def test_quantized_forward_close_to_raw(calibrated):
-    params0, params1, qstate, batches, _ = calibrated
+    params0, params1, qstate, batches, _, _ = calibrated
     x = jnp.asarray(batches[0])
     y_raw = np.asarray(vit_forward(CFG, params0, x))
     y_q = np.asarray(vit_forward(CFG, params1, x, qstate, {"*": "quant"}))
@@ -87,25 +82,31 @@ def test_quantized_forward_close_to_raw(calibrated):
     assert rel < 0.5, rel
 
 
-def test_calibrated_beats_blind_minmax(calibrated):
-    """Search should beat per-site naive min-max scales on output error."""
+def test_calibrated_beats_minmax_baseline(calibrated):
+    """FPCS output-MSE search should beat classic per-site min-max activation
+    ranges (computed from the same captured calibration inputs) on end-to-end
+    quantized output error."""
     from adalog_tpu.models.layers import LinearSite
-    params0, params1, qstate, batches, calib = calibrated
+    from adalog_tpu.calib.calibrator import capture_all_sites
+    params0, params1, qstate, batches, calib, _ = calibrated
     x = jnp.asarray(batches[0])
     y_raw = np.asarray(vit_forward(CFG, params0, x))
     y_q = np.asarray(vit_forward(CFG, params1, x, qstate, {"*": "quant"}))
 
-    # blind baseline: same structure, min-max weight scales, max-abs act scale
-    import copy
-    blind = {}
+    taps = capture_all_sites(TinySpec, params1, batches)
+    base = {}
     for nm, site in qstate.items():
-        if isinstance(site, LinearSite):
+        if isinstance(site, LinearSite) and site.aq.kind == "uniform":
+            xin = np.asarray(taps[nm][0])
             N = 2 ** (site.aq.bits - 1)
-            blind[nm] = site.replace(aq=site.aq.replace(
-                scale=site.aq.scale * 2.0))  # detuned scales
+            lo, hi = float(xin.min()), float(xin.max())
+            s = max((hi - lo) / (2 * N - 1), 1e-8)
+            base[nm] = site.replace(aq=site.aq.replace(
+                scale=jnp.full((1,), s, jnp.float32),
+                zero_point=jnp.full((1,), round(-lo / s), jnp.float32)))
         else:
-            blind[nm] = site
-    y_b = np.asarray(vit_forward(CFG, params1, x, blind, {"*": "quant"}))
+            base[nm] = site
+    y_b = np.asarray(vit_forward(CFG, params1, x, base, {"*": "quant"}))
     err_q = np.linalg.norm(y_q - y_raw)
     err_b = np.linalg.norm(y_b - y_raw)
-    assert err_q <= err_b * 1.1, (err_q, err_b)
+    assert err_q <= err_b * 1.15, (err_q, err_b)

@@ -1,0 +1,98 @@
+"""BRECQ block-reconstruction tests on a tiny block (CPU-sized)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adalog_tpu.models.vit import ViTConfig, vit_init, vit_forward
+from adalog_tpu.utils.config import Config
+from adalog_tpu.calib.init_state import init_qstate
+from adalog_tpu.calib.layout import quant_layout, tree_get
+from adalog_tpu.recon.brecq import BlockReconstructor, capture_block_io, \
+    _b_temperature, _rec_loss
+from adalog_tpu.recon.blocks import block_units
+
+CFG = ViTConfig(img_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                num_classes=10)
+
+
+class TinySpec:
+    family = "vit"
+    cfg = CFG
+
+
+def _setup():
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4, eq_n=32, steps=2,
+                 search_round=1, recon_iters=40, optim_batch_size=4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    layout = quant_layout(TinySpec, cfg, reparam=False)
+    return cfg, params, qstate, layout
+
+
+def test_temperature_schedule():
+    assert float(_b_temperature(jnp.float32(0.0), 100)) == 20.0
+    assert float(_b_temperature(jnp.float32(19.0), 100)) == 20.0
+    assert abs(float(_b_temperature(jnp.float32(100.0), 100)) - 2.0) < 1e-5
+    mid = float(_b_temperature(jnp.float32(60.0), 100))
+    assert 2.0 < mid < 20.0
+
+
+def test_rec_loss_forms(rng):
+    p = jnp.asarray(rng.standard_normal((4, 6, 8)).astype(np.float32))
+    t = p + 0.1
+    mse = float(_rec_loss(p, t, "mse"))
+    # sum over dim1 of 0.01, mean, /10
+    assert abs(mse - 0.01 * 6 / 10) < 1e-5
+    logits = jnp.asarray(rng.standard_normal((4, 10)).astype(np.float32))
+    assert float(_rec_loss(logits, logits, "kl")) < 1e-6
+    assert float(_rec_loss(logits, logits + 1.0, "kl")) < 1e-6  # shift-invariant
+    assert float(_rec_loss(logits, -logits, "kl")) > 0.0
+
+
+def test_capture_block_io_chains(rng):
+    _, params, _, _ = _setup()
+    batches = [rng.standard_normal((4, 16, 16, 3)).astype(np.float32)]
+    io = capture_block_io(TinySpec, params, batches)
+    assert set(io) == {"patch_embed", "blocks.0", "blocks.1", "head"}
+    # block chaining: blocks.0 out == blocks.1 in
+    np.testing.assert_array_equal(io["blocks.0"][1], io["blocks.1"][0])
+    assert io["head"][1].shape == (4, 10)
+
+
+def test_block_reconstruction_reduces_error(rng):
+    cfg, params, qstate, layout = _setup()
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    recon = BlockReconstructor(TinySpec, params, params, qstate, layout, cfg)
+    io = capture_block_io(TinySpec, params, batches)
+    unit = block_units(TinySpec)[1]          # blocks.0
+    raw_in, raw_out = io[unit.name]
+
+    tr, rec_first, rec_last = recon._train_block(
+        unit, raw_in, raw_out, quant_act=True, rec_kind="mse")
+    assert np.isfinite(rec_first) and np.isfinite(rec_last)
+    assert rec_last <= rec_first * 1.5       # training does not diverge
+
+    # freeze: hard weights written back, alphas dropped, act scales updated
+    w_before = np.asarray(tree_get(recon.params,
+                                   layout["blocks.0.attn.qkv"].param_path).w)
+    recon._freeze_block(unit, tr, quant_act=True)
+    w_after = np.asarray(tree_get(recon.params,
+                                  layout["blocks.0.attn.qkv"].param_path).w)
+    assert not np.array_equal(w_before, w_after)
+    site = recon.qstate["blocks.0.attn.qkv"]
+    assert site.wq.alpha is None
+    # hard weights sit on the scale grid: w/scale integral
+    scale = np.asarray(site.wq.scale)
+    ratio = (w_after.reshape(3, -1, w_after.shape[-1]) / scale)
+    np.testing.assert_allclose(ratio, np.round(ratio), atol=1e-3)
+
+
+def test_reconstructed_model_still_runs(rng):
+    cfg, params, qstate, layout = _setup()
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    recon = BlockReconstructor(TinySpec, params, params, qstate, layout, cfg)
+    new_params, new_qstate = recon.reconstruct(batches, quant_act=True)
+    x = jnp.asarray(batches[0])
+    out = vit_forward(CFG, new_params, x, new_qstate, {"*": "quant"})
+    assert np.isfinite(np.asarray(out)).all()

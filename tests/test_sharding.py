@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adalog_tpu.parallel.mesh import make_mesh, dp, replicate, shard_batch
+from adalog_tpu.models.vit import ViTConfig, vit_init, vit_forward
+from adalog_tpu.utils.config import Config
+from adalog_tpu.calib.init_state import init_qstate
+from adalog_tpu.calib import search as SRCH
+
+CFG = ViTConfig(img_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                num_classes=10)
+
+
+class TinySpec:
+    family = "vit"
+    cfg = CFG
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_eval_matches_single_device(rng):
+    mesh = make_mesh(8)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    x = jnp.asarray(rng.standard_normal((16, 16, 16, 3)).astype(np.float32))
+
+    y_single = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+
+    params_r = replicate(params, mesh)
+    x_sh = shard_batch(x, mesh)
+
+    @jax.jit
+    def f(xx):
+        return vit_forward(CFG, params_r, xx, qstate, {"*": "quant"})
+
+    y_dp = np.asarray(f(x_sh))
+    np.testing.assert_allclose(y_dp, y_single, rtol=2e-5, atol=2e-5)
+
+
+def test_token_sharded_search_matches_single_device(rng):
+    """search_linear_default with the token axis dp-sharded returns the same
+    searched parameters (psum reductions are order-stable enough here)."""
+    mesh = make_mesh(8)
+    T, I, O = 64, 16, 24
+    x = jnp.asarray(rng.standard_normal((T, I)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((O, I)) * 0.3).astype(np.float32))
+    b = jnp.zeros((O,), jnp.float32)
+    y = jnp.matmul(x, w.T, precision=jax.lax.Precision.HIGHEST)
+
+    kw = dict(w_bits=4, a_bits=4, n_V=1, eq_n=32, steps=2, rounds=1,
+              use_fpcs=True)
+    r_single = SRCH.search_linear_default(x, y, w, b, **kw)
+
+    x_sh = jax.device_put(x, dp(mesh, 2))
+    y_sh = jax.device_put(y, dp(mesh, 2))
+    r_sh = SRCH.search_linear_default(x_sh, y_sh, w, b, **kw)
+    for a, bb in zip(r_single, r_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
