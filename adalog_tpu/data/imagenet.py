@@ -83,6 +83,19 @@ class ImageNetLoader:
         s = self.spec
         return load_eval_image(path, self.img_size, s.crop_pct, s.mean, s.std)
 
+    def _load_batch(self, paths) -> np.ndarray:
+        """Native C++ decode pipeline when built (make -C native), PIL else."""
+        from adalog_tpu.data import native_loader
+        s = self.spec
+        if native_loader.available() and all(
+                p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+            out = native_loader.batch_load(
+                list(paths), self.img_size, s.crop_pct, s.mean, s.std,
+                n_threads=self.num_workers)
+            if out is not None:
+                return out
+        return np.stack([self._load(p) for p in paths])
+
     def _batches(self, paths, labels, batch_size) -> Iterator:
         """Threaded decode + batch assembly; yields (images NHWC, labels)."""
         n = len(paths)
@@ -92,7 +105,7 @@ class ImageNetLoader:
         def worker():
             for st in order:
                 ed = min(n, st + batch_size)
-                imgs = np.stack([self._load(p) for p in paths[st:ed]])
+                imgs = self._load_batch(paths[st:ed])
                 q.put((imgs, np.asarray(labels[st:ed], np.int32)))
             q.put(None)
 
@@ -118,7 +131,7 @@ class ImageNetLoader:
         paths, labels = self._train
         np.random.seed(seed)
         inds = np.random.permutation(len(paths))[:num]
-        imgs = np.stack([self._load(paths[i]) for i in inds])
+        imgs = self._load_batch([paths[i] for i in inds])
         return [imgs[st:st + batch_size]
                 for st in range(0, num, batch_size)]
 

@@ -111,11 +111,27 @@ def quant_linear_weight(p: LinearP, site: LinearSite, *, soft: bool = False,
 
 def qlinear(p: LinearP, site: Optional[LinearSite], x, *, mode: str = "raw",
             training: bool = False, soft: bool = False):
-    """y = x @ W^T + b with optional fake quantization of W and/or x."""
+    """y = x @ W^T + b with optional fake quantization of W and/or x.
+
+    On TPU eval (when enabled), supported sites route through the Pallas fused
+    fake-quant GEMM (ops/fq_gemm.py): weight dequantized once, activation
+    quantize fused into the MXU matmul.
+    """
     w = p.w
     if site is not None and mode in ("quant", "w_only"):
         w = quant_linear_weight(p, site, soft=soft, training=training)
     if site is not None and mode in ("quant", "a_only"):
+        from adalog_tpu.ops import fq_gemm
+        if not training and fq_gemm.supports(site, mode):
+            lead = x.shape[:-1]
+            y = fq_gemm.fq_gemm(
+                x.reshape(-1, x.shape[-1]), w.T,
+                fq_gemm.site_params(site.aq),
+                kind=fq_gemm.kernel_kind(site), bits=site.aq.bits)
+            y = y.reshape(*lead, w.shape[0])
+            if p.b is not None:
+                y = y + p.b
+            return y
         x = apply_quantizer(site.aq, x, training=training)
     y = jax.lax.dot_general(
         x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),

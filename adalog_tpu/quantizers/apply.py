@@ -18,6 +18,11 @@ from adalog_tpu.quantizers.adaround import adaround_quant
 def apply_quantizer(qs: QuantizerState, x, *, training: bool = False):
     if qs.bits == 32:
         return x
+    # quantizer math always runs in fp32 (scales/grids are fp32-precise);
+    # the result is cast back so a bfloat16 eval path stays bfloat16 end-to-end
+    in_dtype = x.dtype
+    if in_dtype != jnp.float32:
+        x = x.astype(jnp.float32)
     if qs.shifted:
         x = x + qs.shift
 
@@ -40,7 +45,7 @@ def apply_quantizer(qs: QuantizerState, x, *, training: bool = False):
         # Subtract the shift back until it has been folded into the consumer's
         # bias (reference logarithm.py:110-113 and linear.py:999-1006).
         out = out - qs.shift * (1.0 - qs.bias_reparamed.astype(out.dtype))
-    return out
+    return out.astype(in_dtype)
 
 
 def apply_weight_quantizer(wq: WeightQuantizerState, w_viewed, *,
@@ -48,8 +53,13 @@ def apply_weight_quantizer(wq: WeightQuantizerState, w_viewed, *,
     """Fake-quantize a weight tensor already reshaped to the row-group view."""
     if wq.bits == 32:
         return w_viewed
+    in_dtype = w_viewed.dtype
+    if in_dtype != jnp.float32:
+        w_viewed = w_viewed.astype(jnp.float32)
     if wq.alpha is not None:
-        return adaround_quant(w_viewed, wq.scale, wq.zero_point, wq.alpha,
-                              bits=wq.bits, symmetric=wq.symmetric, soft=soft)
-    return uniform_quant(w_viewed, wq.scale, wq.zero_point, bits=wq.bits,
-                         symmetric=wq.symmetric, training=training)
+        out = adaround_quant(w_viewed, wq.scale, wq.zero_point, wq.alpha,
+                             bits=wq.bits, symmetric=wq.symmetric, soft=soft)
+    else:
+        out = uniform_quant(w_viewed, wq.scale, wq.zero_point, bits=wq.bits,
+                            symmetric=wq.symmetric, training=training)
+    return out.astype(in_dtype)
