@@ -41,10 +41,16 @@ from adalog_tpu.calib.reparam import (
 log = logging.getLogger("adalog_tpu")
 
 
-def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray]):
+def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
+                      device_budget_bytes: int = None):
     """Run the raw model once per batch, capturing every quant site's I/O.
 
     Returns dict name -> tuple of concatenated arrays (inputs..., output).
+    When the total capture footprint (known ahead of time via jax.eval_shape)
+    exceeds ``device_budget_bytes``, taps spill to host memory per batch and
+    are re-uploaded site-by-site at search time — the deterministic analog of
+    the reference's keep-activations-on-CPU policy (calibrator.py:17-28),
+    taken only when actually needed.
     """
     fwd = model_forward_fn(spec)
 
@@ -53,16 +59,32 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray]):
         _, taps = fwd(spec.cfg, p, x, capture=True)
         return taps
 
+    spill = False
+    if device_budget_bytes is not None:
+        shapes = jax.eval_shape(run, params, jax.ShapeDtypeStruct(
+            batches[0].shape, jnp.float32))
+        per_batch_bytes = sum(
+            int(np.prod(s.shape)) * 4 for s in jax.tree_util.tree_leaves(shapes))
+        total = per_batch_bytes * len(batches)
+        spill = total > device_budget_bytes
+        if spill:
+            log.info("capture footprint %.1f GB > budget %.1f GB; "
+                     "spilling to host", total / 2**30,
+                     device_budget_bytes / 2**30)
+
     per_batch = []
     for xb in batches:
         taps = run(params, jnp.asarray(xb))
+        if spill:
+            taps = jax.tree_util.tree_map(lambda a: np.asarray(a), taps)
         per_batch.append(taps)
+    cat = np.concatenate if spill else jnp.concatenate
     names = per_batch[0].keys()
     out = {}
     for nm in names:
         arity = len(per_batch[0][nm])
         out[nm] = tuple(
-            jnp.concatenate([pb[nm][k] for pb in per_batch], axis=0)
+            cat([pb[nm][k] for pb in per_batch], axis=0)
             for k in range(arity))
     return out
 
@@ -72,15 +94,58 @@ def _flat2d(x):
 
 
 class QuantCalibrator:
-    """Functional analog of the reference QuantCalibrator (calibrator.py:9-67)."""
+    """Functional analog of the reference QuantCalibrator (calibrator.py:9-67).
+
+    mesh: optional jax.sharding.Mesh — calibration batches and the flattened
+    token axis of every search are sharded over its 'dp' axis; GSPMD turns the
+    similarity reductions into psums over ICI.
+    resume_path: optional file — per-site results are appended after each
+    search so an interrupted calibration restarts where it left off (the
+    reference has no mid-calibration resume, SURVEY.md §5).
+    """
 
     def __init__(self, spec: ModelSpec, params, cfg: Config,
-                 reparam: bool = True):
+                 reparam: bool = True, mesh=None, resume_path: str = None):
         self.spec = spec
         self.params = params
         self.cfg = cfg
         self.layout = quant_layout(spec, cfg, reparam)
         self.qstate: Dict[str, object] = {}
+        self.mesh = mesh
+        self.resume_path = resume_path
+
+    def _shard_tokens(self, x):
+        if self.mesh is None:
+            return x
+        from adalog_tpu.parallel.mesh import dp
+        n = self.mesh.devices.size
+        if x.shape[0] % n:
+            return x
+        return jax.device_put(x, dp(self.mesh, x.ndim))
+
+    def _resume_load(self):
+        if not self.resume_path:
+            return
+        import os
+        import pickle
+        if os.path.exists(self.resume_path):
+            with open(self.resume_path, "rb") as f:
+                saved = pickle.load(f)
+            self.qstate.update(saved.get("qstate", {}))
+            if saved.get("params") is not None:
+                self.params = saved["params"]
+            log.info("resumed %d calibrated sites from %s",
+                     len(self.qstate), self.resume_path)
+
+    def _resume_save(self):
+        if not self.resume_path:
+            return
+        import pickle
+        host = jax.tree_util.tree_map(lambda a: np.asarray(a),
+                                      {"qstate": self.qstate,
+                                       "params": self.params})
+        with open(self.resume_path, "wb") as f:
+            pickle.dump(host, f)
 
     # -- per-family handlers -------------------------------------------------
 
@@ -89,6 +154,7 @@ class QuantCalibrator:
         return dict(eq_n=c.eq_n, steps=c.steps, use_fpcs=c.fpcs)
 
     def _do_conv(self, name, ss: SiteSpec, x, y):
+        x, y = self._shard_tokens(x), self._shard_tokens(y)
         p = tree_get(self.params, ss.param_path)
         kh, kw = p.w.shape[2], p.w.shape[3]
         w_s, w_z = SRCH.search_conv(
@@ -108,7 +174,7 @@ class QuantCalibrator:
 
     def _do_linear(self, name, ss: SiteSpec, x, y):
         p = tree_get(self.params, ss.param_path)
-        x2, y2 = _flat2d(x), _flat2d(y)
+        x2, y2 = self._shard_tokens(_flat2d(x)), self._shard_tokens(_flat2d(y))
 
         if ss.kind == "linear_reparam":
             # stage 1: channel-wise activation self-search (linear.py:585-594)
@@ -132,7 +198,7 @@ class QuantCalibrator:
 
     def _do_postgelu(self, name, ss: SiteSpec, x, y):
         p = tree_get(self.params, ss.param_path)
-        x2, y2 = _flat2d(x), _flat2d(y)
+        x2, y2 = self._shard_tokens(_flat2d(x)), self._shard_tokens(_flat2d(y))
         if ss.kind == "postgelu_twin":
             w_s, w_z, s_pos, s_neg = SRCH.search_linear_postgelu_twin(
                 x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits,
@@ -153,6 +219,8 @@ class QuantCalibrator:
         self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
 
     def _do_matmul(self, name, ss: SiteSpec, A, B, y):
+        A, B, y = (self._shard_tokens(A), self._shard_tokens(B),
+                   self._shard_tokens(y))
         hcw = self.cfg.matmul_head_channel_wise
         if ss.kind == "matmul":
             A_s, A_z, B_s, B_z = SRCH.search_matmul(
@@ -181,10 +249,15 @@ class QuantCalibrator:
         Returns (params, qstate) — params possibly reparameterized.
         """
         t0 = time.time()
-        taps = capture_all_sites(self.spec, self.params, batches)
+        taps = capture_all_sites(self.spec, self.params, batches,
+                                 self.cfg.capture_device_budget_bytes)
         log.info("capture: %d sites in %.1fs", len(taps), time.time() - t0)
+        self._resume_load()
 
         for name, ss in self.layout.items():
+            if name in self.qstate:      # resumed
+                taps[name] = None
+                continue
             t1 = time.time()
             tap = taps[name]
             if ss.kind == "conv":
@@ -197,6 +270,7 @@ class QuantCalibrator:
                     self._do_postgelu(name, ss, *tap)
             # free this site's captures eagerly (device memory)
             taps[name] = None
+            self._resume_save()
             log.info("calibrated %-38s [%s] in %.2fs", name, ss.kind,
                      time.time() - t1)
         return self.params, self.qstate

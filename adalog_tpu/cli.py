@@ -156,6 +156,10 @@ def main(args):
     qstate = None
     fwd = model_forward_fn(spec)
 
+    if cfg.use_pallas:
+        from adalog_tpu.ops import fq_gemm
+        fq_gemm.set_enabled(True)
+
     def eval_forward(p, qs):
         dtype = jnp.bfloat16 if cfg.eval_dtype == "bfloat16" else jnp.float32
 

@@ -64,17 +64,26 @@ def main():
                        {"*": "quant"}).astype(jnp.float32)
         return f
 
+    from adalog_tpu.ops import fq_gemm
     x = jnp.asarray(rng.standard_normal((128, 224, 224, 3)).astype(np.float32))
-    for name, dtype in [("fp32", jnp.float32), ("bf16", jnp.bfloat16)]:
+    for name, dtype, pallas in [("fp32", jnp.float32, False),
+                                ("bf16", jnp.bfloat16, False),
+                                ("bf16+pallas", jnp.bfloat16, True)]:
+        fq_gemm.set_enabled(pallas)
         f = make_eval(dtype)
-        jax.block_until_ready(f(x))          # compile
-        t1 = time.time()
-        iters = 10
-        for _ in range(iters):
-            out = f(x)
-        jax.block_until_ready(out)
-        ips = 128 * iters / (time.time() - t1)
-        log(f"quant eval throughput ({name}): {ips:.0f} img/s")
+        try:
+            _ = np.asarray(f(x)[:1])         # compile + sync
+            t1 = time.time()
+            iters = 10
+            for _ in range(iters):
+                out = f(x)
+            _ = np.asarray(out[:1])          # sync through the tunnel
+            ips = 128 * iters / (time.time() - t1)
+            log(f"quant eval throughput ({name}): {ips:.0f} img/s")
+        except Exception as e:               # pallas path is best-effort
+            log(f"quant eval ({name}) failed: {type(e).__name__}: {e}")
+        finally:
+            fq_gemm.set_enabled(False)
 
     print(json.dumps({
         "metric": f"{model}_w4a4_fpcs_calibration_wallclock",
