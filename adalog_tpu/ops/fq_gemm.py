@@ -44,16 +44,14 @@ def enabled() -> bool:
     return _ENABLED and jax.default_backend() == "tpu"
 
 
-def _quantize_tile(x, params, kind: str, bits: int):
-    """Fake-quantize one fp32 tile. params: (4,) [scale, zp, shift, q]."""
+def _quantize_tile(x, s, zp, shift, qq, kind: str, bits: int):
+    """Fake-quantize one fp32 tile with scalar quantizer params."""
     N = 2 ** (bits - 1)
-    s = params[0]
     if kind == "uniform":
-        z = jnp.round(params[1])
+        z = jnp.round(zp)
         q = jnp.clip(jnp.round(x / s) + z, 0.0, 2.0 * N - 1)
         return (q - z) * s
     # adalog_shift (bias already folded: quantize x+shift, keep shifted value)
-    shift, qq = params[2], params[3]
     scaled = jnp.clip((x + shift) / s, 1e-15, 1.0)
     code = jnp.round(-jnp.log2(scaled) * ADALOG_R / qq)
     keep = (code < 2 * N).astype(jnp.float32)
@@ -67,7 +65,10 @@ def _quantize_tile(x, params, kind: str, bits: int):
 
 def _kernel(params_ref, x_ref, w_ref, out_ref, *, kind: str, bits: int,
             compute_dtype):
-    xq = _quantize_tile(x_ref[:].astype(jnp.float32), params_ref[:], kind, bits)
+    # SMEM permits scalar loads only
+    xq = _quantize_tile(x_ref[:].astype(jnp.float32), params_ref[0],
+                        params_ref[1], params_ref[2], params_ref[3],
+                        kind, bits)
     out_ref[:] = jax.lax.dot(
         xq.astype(compute_dtype), w_ref[:].astype(compute_dtype),
         precision=(None if compute_dtype == jnp.bfloat16
