@@ -191,7 +191,8 @@ class QuantCalibrator:
 
         w_s, w_z, a_s, a_z = SRCH.search_linear_default(
             x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
-            rounds=self.cfg.search_round, **self._common())
+            rounds=self.cfg.search_round, gram=self.cfg.w_search_gram,
+            **self._common())
         aq = QuantizerState(scale=a_s, zero_point=a_z, kind="uniform",
                             bits=ss.a_bits, symmetric=False)
         self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
@@ -209,7 +210,8 @@ class QuantCalibrator:
             shift = jnp.float32(GELU_MIN)
             w_s, w_z, a_s, q = SRCH.search_linear_postgelu_adalog(
                 x2, y2, p.w, p.b, shift, w_bits=ss.w_bits, a_bits=ss.a_bits,
-                n_V=ss.n_V, rounds=self.cfg.search_round, **self._common())
+                n_V=ss.n_V, rounds=self.cfg.search_round,
+                gram=self.cfg.w_search_gram, **self._common())
             kind = ss.post_quantizer  # adalog | log2 | logsqrt2 (linear.py:990-994)
             aq = QuantizerState(
                 scale=a_s, shift=jnp.full((1,), GELU_MIN, jnp.float32),

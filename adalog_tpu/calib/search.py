@@ -94,9 +94,10 @@ def _wq(w_v, scale_u, zp_u, bits):
 
 
 @partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
-                                   "rounds", "use_fpcs"))
+                                   "rounds", "use_fpcs", "gram"))
 def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
-                          eq_n: int, steps: int, rounds: int, use_fpcs: bool):
+                          eq_n: int, steps: int, rounds: int, use_fpcs: bool,
+                          gram: bool = False):
     """Default asymmetric Linear search (linear.py:525-545).
 
     x: (T, I) flattened input; y: (T, O) raw output; w: (O, I); b: (O,)|None.
@@ -133,10 +134,14 @@ def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
     def round_body(carry, _):
         w_s, w_z, a_s, a_z = carry
         x_q = S.uq_asym(x, a_s, a_z, a_bits)
-        w_s, w_z = fpcs(
-            lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
-                                              w_bits).reshape(eq_n, V * R),
-            ws0, wz0, eq_n=eq_n, steps=st)
+        if gram:
+            G, Cm = S.gram_stats(x_q, tgt)
+            w_score = lambda s, z: S.score_linear_w_out_gram(
+                G, Cm, w_v, *exp_w(s, z), w_bits).reshape(eq_n, V * R)
+        else:
+            w_score = lambda s, z: S.score_linear_w_out(
+                x_q, tgt, w_v, *exp_w(s, z), w_bits).reshape(eq_n, V * R)
+        w_s, w_z = fpcs(w_score, ws0, wz0, eq_n=eq_n, steps=st)
         w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
         a_s, a_z = fpcs(
             lambda s, z: S.score_linear_a_out(x, tgt, w_q2, s, z, a_bits
@@ -165,10 +170,11 @@ def search_act_channelwise(x, *, a_bits: int, eq_n: int, steps: int,
 
 
 @partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
-                                   "rounds", "use_fpcs"))
+                                   "rounds", "use_fpcs", "gram"))
 def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
                                   a_bits: int, n_V: int, eq_n: int, steps: int,
-                                  rounds: int, use_fpcs: bool):
+                                  rounds: int, use_fpcs: bool,
+                                  gram: bool = False):
     """Post-GeLU AdaLog fc2 search (linear.py:969-997).
 
     Flow: weight self-FPCS; scale init at the second-to-last percentile point;
@@ -227,10 +233,14 @@ def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
             a_s = scale_grid[jnp.argmax(sims_s)]
         # weight output-MSE with the AdaLog-quantized input
         x_q = S.adalog_fq_search(x + shift, a_s, q, a_bits) - shift
-        w_s, w_z = fpcs(
-            lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
-                                              w_bits).reshape(eq_n, V * R),
-            ws0, wz0, eq_n=eq_n, steps=st)
+        if gram:
+            G, Cm = S.gram_stats(x_q, tgt)
+            w_score = lambda s, z: S.score_linear_w_out_gram(
+                G, Cm, w_v, *exp_w(s, z), w_bits).reshape(eq_n, V * R)
+        else:
+            w_score = lambda s, z: S.score_linear_w_out(
+                x_q, tgt, w_v, *exp_w(s, z), w_bits).reshape(eq_n, V * R)
+        w_s, w_z = fpcs(w_score, ws0, wz0, eq_n=eq_n, steps=st)
         return (w_s, w_z, jnp.reshape(a_s, (1,)), q), None
 
     (w_s, w_z, a_s, q), _ = lax.scan(

@@ -140,6 +140,41 @@ def score_linear_w_out(x_q, target, w_v, scales, zps, bits: int):
     return _map(one, (scales, zps), E, (T * O + V * R * I) * 4)
 
 
+def gram_stats(x_q, target):
+    """Precompute (G, C) for the Gram-form weight scoring.
+
+    G = x_qᵀ x_q (I, I);  C[o, i] = Σ_t target[t, o]·x_q[t, i] (O, I).
+    Computed once per search round; every candidate then scores in O(O·I²)
+    instead of O(T·O·I) — a ~T/I-fold FLOP cut with no E×T×O intermediate.
+    """
+    G = jnp.matmul(x_q.T, x_q, precision=HIGHEST)
+    Cm = jnp.matmul(target.T, x_q, precision=HIGHEST)
+    return G, Cm
+
+
+def score_linear_w_out_gram(G, Cm, w_v, scales, zps, bits: int):
+    """Gram-form weight-candidate scoring, ranking-equivalent to
+    score_linear_w_out: per output unit,
+        -SSE[e,o] = -(Σtgt² - 2·w·C[o] + w·G·w) ≡ 2·w·C[o] - w·G·w + const.
+    The target-energy constant is dropped (it cancels in the per-unit argmax),
+    which also removes one source of fp32 cancellation.
+    """
+    E = scales.shape[0]
+    V, R, I = w_v.shape
+    Cv = Cm.reshape(V, R, I)
+
+    def one(c):
+        s, z = c
+        w_dq = uq_asym(w_v, s, z, bits)                       # (V, R, I)
+        term2 = jnp.sum(w_dq * Cv, axis=-1)                   # (V, R)
+        wG = jnp.einsum("vri,ij->vrj", w_dq, G,
+                        preferred_element_type=jnp.float32, precision=HIGHEST)
+        term3 = jnp.sum(wG * w_dq, axis=-1)                   # (V, R)
+        return 2.0 * term2 - term3
+
+    return _map(one, (scales, zps), E, 2 * V * R * I * 4)
+
+
 def score_linear_a_out(x, target, w_q, scales, zps, bits: int):
     """Activation-candidate scoring against layer output (per-tensor).
 

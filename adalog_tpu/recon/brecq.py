@@ -6,11 +6,14 @@ rounding logits to every weight quantizer in the block, and run ``iters``
 gradient steps on (alpha, activation scales) to minimize block-output MSE plus
 the rounding-relaxation penalty — then freeze hard rounding into the weights.
 
-TPU-native structure: the entire 20k-iteration loop is ONE jitted lax.scan —
-batch sampling (jax.random.permutation, the randperm analog of
-block_recon.py:115), the quantized block forward in training mode (STE paths),
-optax Adam updates and the temperature schedule all trace into a single XLA
-program per block shape. No per-iteration Python dispatch.
+TPU-native structure:
+  - the entire 20k-iteration loop is ONE jitted lax.scan — batch sampling
+    (jax.random.permutation, the randperm analog of block_recon.py:115), the
+    quantized block forward in training mode (STE paths), optax Adam updates
+    and the temperature schedule all trace into a single XLA program;
+  - block params and quant state are ARGUMENTS of that program, and site names
+    are canonicalized (recon/blocks.py), so every same-shape block (all 12 ViT
+    blocks, each Swin stage) reuses one compiled training step.
 
 Because every block trains against pristine-model I/O, blocks are mutually
 independent — the sequential loop here is a memory choice, not a data
@@ -22,7 +25,6 @@ from __future__ import annotations
 
 import logging
 import time
-from functools import partial
 from typing import Dict, List
 
 import numpy as np
@@ -32,7 +34,7 @@ import optax
 
 from adalog_tpu.utils.config import Config
 from adalog_tpu.models.zoo import ModelSpec, model_forward_fn
-from adalog_tpu.models.layers import LinearSite, ConvSite, MatMulSite
+from adalog_tpu.models.layers import ConvSite, MatMulSite
 from adalog_tpu.models.layers import linear_view, conv_view
 from adalog_tpu.quantizers.adaround import (
     adaround_init_alpha, adaround_soft_targets, adaround_hard_weight,
@@ -68,8 +70,7 @@ def capture_block_io(spec: ModelSpec, params_full, batches: List[np.ndarray]):
     for xb in batches:
         taps = run(params_full, jnp.asarray(xb))
         for nm, (tin, tout) in taps.items():
-            acc.setdefault(nm, []).append(
-                (np.asarray(tin), np.asarray(tout)))
+            acc.setdefault(nm, []).append((np.asarray(tin), np.asarray(tout)))
     return {nm: (np.concatenate([a for a, _ in v], axis=0),
                  np.concatenate([b for _, b in v], axis=0))
             for nm, v in acc.items()}
@@ -104,7 +105,7 @@ def _viewed_weight(p, site):
 
 
 def _merge_trainables(qstate_block, trainables, quant_act: bool):
-    """Insert trainable leaves into the block's quant-site states."""
+    """Insert trainable leaves into the block's (canonical-name) site states."""
     out = dict(qstate_block)
     for nm, tr in trainables["w"].items():
         site = out[nm]
@@ -119,6 +120,61 @@ def _merge_trainables(qstate_block, trainables, quant_act: bool):
             else:
                 out[nm] = site.replace(aq=site.aq.replace(scale=tr["a"]))
     return out
+
+
+# one jitted training program per (forward object, statics); jax.jit's own
+# cache then handles shape/structure specialization
+_TRAIN_FNS: Dict[tuple, object] = {}
+
+
+def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
+                  batch: int, modes_key: tuple):
+    key = (forward, quant_act, rec_kind, iters, batch, modes_key)
+    if key in _TRAIN_FNS:
+        return _TRAIN_FNS[key]
+
+    modes = dict(modes_key)
+    loss_start = WARMUP * iters
+    opt = optax.multi_transform(
+        {"w": optax.adam(W_LR),
+         "a": optax.adam(optax.cosine_decay_schedule(A_LR, iters, 0.0))},
+        param_labels={"w": "w", "a": "a"})
+
+    @jax.jit
+    def train(block_params, qstate_block, rin, rout, tr0, key_):
+        n = rin.shape[0]
+
+        def loss_fn(tr, xb, yb, t):
+            qs = _merge_trainables(qstate_block, tr, quant_act)
+            pred = forward(block_params, qs, xb, modes, True, True)
+            rec = _rec_loss(pred, yb, rec_kind)
+            b = _b_temperature(t, iters)
+            rnd = 0.0
+            for alpha in jax.tree_util.tree_leaves(tr["w"]):
+                s = adaround_soft_targets(alpha)
+                rnd = rnd + jnp.sum(1.0 - jnp.abs(2.0 * s - 1.0) ** b)
+            rnd = ROUND_WEIGHT * rnd * (t >= loss_start)
+            return rec + rnd, rec
+
+        def step(carry, t):
+            tr, ost, k = carry
+            k, sub = jax.random.split(k)
+            idx = jax.random.permutation(sub, n)[:batch]
+            xb = jnp.take(rin, idx, axis=0)
+            yb = jnp.take(rout, idx, axis=0)
+            (_, rec), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(tr, xb, yb, t)
+            updates, ost = opt.update(grads, ost, tr)
+            tr = optax.apply_updates(tr, updates)
+            return (tr, ost, k), rec
+
+        (tr, _, _), recs = jax.lax.scan(
+            step, (tr0, opt.init(tr0), key_),
+            jnp.arange(iters, dtype=jnp.float32))
+        return tr, recs
+
+    _TRAIN_FNS[key] = train
+    return train
 
 
 class BlockReconstructor:
@@ -136,95 +192,62 @@ class BlockReconstructor:
     def _site_modes(self, unit: BlockUnit, quant_act: bool):
         """Per-site modes during training (block_recon.py:96-107): linear/conv
         quantize weights always, acts only when quant_act; matmuls raw unless
-        quant_act."""
+        quant_act. Keys are canonical names."""
         modes = {}
-        for nm in unit.site_names:
+        for nm, cn in unit.canon.items():
             site = self.qstate.get(nm)
             if site is None:
                 continue
             if isinstance(site, MatMulSite):
-                modes[nm] = "quant" if quant_act else "raw"
+                modes[cn] = "quant" if quant_act else "raw"
             else:
-                modes[nm] = "quant" if quant_act else "w_only"
+                modes[cn] = "quant" if quant_act else "w_only"
         return modes
 
     def _init_trainables(self, unit: BlockUnit, quant_act: bool):
+        """AdaRound alpha per weight site (canonical names), act scales when
+        quant_act (block_recon.py:48-60, 99-107)."""
         w_tr, a_tr = {}, {}
-        for nm in unit.site_names:
+        for nm, cn in unit.canon.items():
             site = self.qstate.get(nm)
             if site is None:
                 continue
             ss = self.layout[nm]
             if isinstance(site, MatMulSite):
                 if quant_act:
-                    a_tr[nm] = {"A": site.Aq.scale, "B": site.Bq.scale}
+                    a_tr[cn] = {"A": site.Aq.scale, "B": site.Bq.scale}
                 continue
             p = tree_get(self.params, ss.param_path)
             w_v = _viewed_weight(p, site)
-            w_tr[nm] = adaround_init_alpha(w_v, site.wq.scale)
+            w_tr[cn] = adaround_init_alpha(w_v, site.wq.scale)
             if quant_act:
-                a_tr[nm] = {"a": site.aq.scale}
+                a_tr[cn] = {"a": site.aq.scale}
         return {"w": w_tr, "a": a_tr}
 
     def _train_block(self, unit: BlockUnit, raw_in, raw_out, quant_act: bool,
                      rec_kind: str, seed: int = 0):
         cfg = self.cfg
-        iters = cfg.recon_iters
-        batch = cfg.optim_batch_size
         modes = self._site_modes(unit, quant_act)
-        qstate_block = {nm: self.qstate[nm] for nm in unit.site_names
+        qstate_block = {cn: self.qstate[nm] for nm, cn in unit.canon.items()
                         if nm in self.qstate}
         trainables = self._init_trainables(unit, quant_act)
-        params = self.params
-        n = raw_in.shape[0]
-        loss_start = WARMUP * iters
+        block_params = unit.extract(self.params)
 
-        opt = optax.multi_transform(
-            {"w": optax.adam(W_LR),
-             "a": optax.adam(optax.cosine_decay_schedule(A_LR, iters, 0.0))},
-            param_labels={"w": "w", "a": "a"})
-        opt_state = opt.init(trainables)
-
-        def loss_fn(tr, xb, yb, t):
-            qs = _merge_trainables(qstate_block, tr, quant_act)
-            pred = unit.forward(params, qs, xb, modes, True, True)
-            rec = _rec_loss(pred, yb, rec_kind)
-            b = _b_temperature(t, iters)
-            rnd = 0.0
-            for alpha in jax.tree_util.tree_leaves(tr["w"]):
-                s = adaround_soft_targets(alpha)
-                rnd = rnd + jnp.sum(1.0 - jnp.abs(2.0 * s - 1.0) ** b)
-            rnd = ROUND_WEIGHT * rnd * (t >= loss_start)
-            return rec + rnd, rec
-
-        @jax.jit
-        def train(rin, rout, tr0, key):
-            def step(carry, t):
-                tr, ost, k = carry
-                k, sub = jax.random.split(k)
-                idx = jax.random.permutation(sub, n)[:batch]
-                xb = jnp.take(rin, idx, axis=0)
-                yb = jnp.take(rout, idx, axis=0)
-                (loss, rec), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(tr, xb, yb, t)
-                updates, ost = opt.update(grads, ost, tr)
-                tr = optax.apply_updates(tr, updates)
-                return (tr, ost, k), rec
-
-            (tr, _, _), recs = jax.lax.scan(
-                step, (tr0, opt_state, key),
-                jnp.arange(iters, dtype=jnp.float32))
-            return tr, recs
-
-        key = jax.random.PRNGKey(seed)
-        tr, recs = train(jnp.asarray(raw_in), jnp.asarray(raw_out),
-                         trainables, key)
+        train = _get_train_fn(
+            unit.forward, quant_act=quant_act, rec_kind=rec_kind,
+            iters=cfg.recon_iters, batch=cfg.optim_batch_size,
+            modes_key=tuple(sorted(modes.items())))
+        tr, recs = train(block_params, qstate_block, jnp.asarray(raw_in),
+                         jnp.asarray(raw_out), trainables,
+                         jax.random.PRNGKey(seed))
         return jax.device_get(tr), float(recs[0]), float(recs[-1])
 
     def _freeze_block(self, unit: BlockUnit, trainables, quant_act: bool):
         """Write back trained act scales; freeze hard-rounded weights into the
         params and drop alpha (block_recon.py:128-137, 151-157)."""
-        for nm, alpha in trainables["w"].items():
+        rev = {cn: nm for nm, cn in unit.canon.items()}
+        for cn, alpha in trainables["w"].items():
+            nm = rev[cn]
             site = self.qstate[nm]
             ss = self.layout[nm]
             p = tree_get(self.params, ss.param_path)
@@ -235,7 +258,8 @@ class BlockReconstructor:
                 self.params, ss.param_path,
                 p.replace(w=w_hard.reshape(p.w.shape)))
         if quant_act:
-            for nm, tr in trainables["a"].items():
+            for cn, tr in trainables["a"].items():
+                nm = rev[cn]
                 site = self.qstate[nm]
                 if isinstance(site, MatMulSite):
                     self.qstate[nm] = site.replace(
