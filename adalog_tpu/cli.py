@@ -34,7 +34,7 @@ def get_args_parser():
                    choices=["vit_tiny", "vit_small", "vit_base", "vit_large",
                             "deit_tiny", "deit_small", "deit_base",
                             "swin_tiny", "swin_small", "swin_base",
-                            "swin_base_384"])
+                            "swin_base_384", "test_tiny", "test_tiny_swin"])
     p.add_argument("--config", type=str, default="./configs/4bit.py",
                    help="path to a .py file defining Config")
     p.add_argument("--dataset", default="/dataset/imagenet/")

@@ -64,6 +64,16 @@ MODEL_ZOO = {
     "swin_base_384": _swin("swin_base_384", "swin_base_patch4_window12_384",
                            128, (2, 2, 18, 2), (4, 8, 16, 32),
                            img_size=384, window=12, crop_pct=1.0),
+    # tiny fixtures for CI / CLI end-to-end tests (no timm counterpart)
+    "test_tiny": ModelSpec(
+        name="test_tiny", family="vit", timm_id="test_tiny",
+        cfg=ViTConfig(img_size=32, patch_size=8, dim=32, depth=2, heads=2,
+                      num_classes=10)),
+    "test_tiny_swin": ModelSpec(
+        name="test_tiny_swin", family="swin", timm_id="test_tiny_swin",
+        cfg=SwinConfig(img_size=32, patch_size=4, embed_dim=16,
+                       depths=(1, 2), heads=(2, 4), window=4,
+                       num_classes=10)),
 }
 
 
