@@ -113,6 +113,7 @@ class QuantCalibrator:
         self.qstate: Dict[str, object] = {}
         self.mesh = mesh
         self.resume_path = resume_path
+        SRCH.S.set_score_dtype(cfg.search_dtype)
 
     def _shard_tokens(self, x):
         if self.mesh is None:

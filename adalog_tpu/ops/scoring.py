@@ -34,6 +34,31 @@ HIGHEST = jax.lax.Precision.HIGHEST
 # (linear.py:111-121) — no try/except-OOM retries (XLA cannot catch OOM).
 SCORE_BUDGET_BYTES = 1 << 30
 
+# dtype of the scoring GEMMs. float32 (default) matches the reference's CUDA
+# fp32 numerics; bfloat16 runs the MXU ~4x faster with fp32 accumulation —
+# candidate *rankings* are argmax-compared, so bf16 input rounding only
+# perturbs near-ties (validated in tests/test_search_dtype.py). Set via
+# set_score_dtype() from Config.search_dtype.
+_SCORE_DTYPE = jnp.float32
+
+
+def set_score_dtype(name: str):
+    """Select the scoring GEMM dtype. The dtype is baked into traced search
+    programs, so switching it invalidates jit caches."""
+    global _SCORE_DTYPE
+    new = jnp.bfloat16 if name == "bfloat16" else jnp.float32
+    if new is not _SCORE_DTYPE:
+        _SCORE_DTYPE = new
+        jax.clear_caches()
+
+
+def _mm(a, b):
+    """Scoring matmul in the configured dtype, fp32 accumulate."""
+    if _SCORE_DTYPE == jnp.bfloat16:
+        return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.matmul(a, b, precision=HIGHEST)
+
 
 def _chunk_size(eq_n: int, bytes_per_candidate: int) -> int:
     cap = max(1, SCORE_BUDGET_BYTES // max(1, bytes_per_candidate))
@@ -132,9 +157,14 @@ def score_linear_w_out(x_q, target, w_v, scales, zps, bits: int):
     def one(c):
         s, z = c
         w_dq = uq_asym(w_v, s, z, bits)                       # (V, R, I)
-        out = jnp.einsum("ti,vri->tvr", x_q, w_dq,
-                         preferred_element_type=jnp.float32,
-                         precision=HIGHEST)
+        if _SCORE_DTYPE == jnp.bfloat16:
+            out = jnp.einsum("ti,vri->tvr", x_q.astype(jnp.bfloat16),
+                             w_dq.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+        else:
+            out = jnp.einsum("ti,vri->tvr", x_q, w_dq,
+                             preferred_element_type=jnp.float32,
+                             precision=HIGHEST)
         return -jnp.sum(jnp.square(tgt - out), axis=0)        # (V, R)
 
     return _map(one, (scales, zps), E, (T * O + V * R * I) * 4)
@@ -188,7 +218,7 @@ def score_linear_a_out(x, target, w_q, scales, zps, bits: int):
     def one(c):
         s, z = c
         x_dq = uq_asym(x, s, z, bits)
-        out = jnp.matmul(x_dq, w_q.T, precision=HIGHEST)
+        out = _mm(x_dq, w_q.T)
         return -jnp.sum(jnp.square(target - out))
 
     return _map(one, (scales, zps), E, (T * O + x.size) * 4)
@@ -206,7 +236,7 @@ def score_linear_a_out_twin(x, target, w_q, scales_pos, scale_neg, bits: int):
 
     def one(sp):
         x_pos = jnp.clip(jnp.round(x / sp), 0, N - 1) * sp
-        out = jnp.matmul(x_pos + x_neg, w_q.T, precision=HIGHEST)
+        out = _mm(x_pos + x_neg, w_q.T)
         return -jnp.sum(jnp.square(target - out))
 
     return _map(one, scales_pos, E, (T * O + x.size) * 4)
@@ -226,7 +256,7 @@ def score_linear_a_out_adalog(x, target, w_q, shift, scales, qs, bits: int):
     def one(c):
         s, q = c
         x_dq = adalog_fq_search(x + shift, s, q, bits) - shift
-        out = jnp.matmul(x_dq, w_q.T, precision=HIGHEST)
+        out = _mm(x_dq, w_q.T)
         return -jnp.sum(jnp.square(target - out))
 
     return _map(one, (scales, qs), E, (T * O + x.size) * 4)
@@ -256,8 +286,7 @@ def score_matmul_opA(A, B_q, target, scales, zps, bits: int,
     def one(c):
         s, z = c                        # (1, H|1, 1, 1) broadcast vs (N, H, S, C)
         A_dq = uq_asym(A, s, z, bits)
-        out = jnp.matmul(A_dq, B_q, preferred_element_type=jnp.float32,
-                          precision=HIGHEST)
+        out = _mm(A_dq, B_q)
         return _matmul_sim(jnp.square(target - out), head_channel_wise)
 
     return _map(one, (scales, zps), E, (target.size + A.size) * 4)
@@ -271,8 +300,7 @@ def score_matmul_opB(A_q, B, target, scales, zps, bits: int,
     def one(c):
         s, z = c
         B_dq = uq_asym(B, s, z, bits)
-        out = jnp.matmul(A_q, B_dq, preferred_element_type=jnp.float32,
-                          precision=HIGHEST)
+        out = _mm(A_q, B_dq)
         return _matmul_sim(jnp.square(target - out), head_channel_wise)
 
     return _map(one, (scales, zps), E, (target.size + B.size) * 4)
@@ -285,8 +313,7 @@ def score_postsoftmax_base(A, B_q, target, qs, bits: int):
 
     def one(q):
         A_dq = adalog_fq_search(A, 1.0, q, bits, clamp_upper=False)
-        out = jnp.matmul(A_dq, B_q, preferred_element_type=jnp.float32,
-                          precision=HIGHEST)
+        out = _mm(A_dq, B_q)
         return _matmul_sim(jnp.square(target - out), head_channel_wise=False)
 
     return _map(one, qs, E, (target.size + A.size) * 4)
