@@ -1,0 +1,100 @@
+"""Debug-mode ablations (the reference's debug_only_quant_weight/act,
+linear.py:31-34), multi-batch calibration capture, and model-zoo geometry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adalog_tpu.models.vit import ViTConfig, vit_init, vit_forward
+from adalog_tpu.models.zoo import model_spec
+from adalog_tpu.models.swin import SwinConfig
+from adalog_tpu.utils.config import Config
+from adalog_tpu.calib.init_state import init_qstate
+from adalog_tpu.calib.calibrator import QuantCalibrator, capture_all_sites
+
+CFG = ViTConfig(img_size=16, patch_size=8, dim=32, depth=2, heads=2,
+                num_classes=10)
+
+
+class TinySpec:
+    family = "vit"
+    cfg = CFG
+
+
+def test_debug_mode_ablation(rng):
+    """w_only and a_only isolate weight- vs activation-quant error; both lie
+    between raw and fully-quantized outputs in error magnitude."""
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 3)).astype(np.float32))
+
+    y_raw = np.asarray(vit_forward(CFG, params, x))
+    outs = {m: np.asarray(vit_forward(CFG, params, x, qstate, {"*": m}))
+            for m in ("raw", "w_only", "a_only", "quant")}
+    np.testing.assert_array_equal(outs["raw"], y_raw)
+    err = {m: np.linalg.norm(outs[m] - y_raw) for m in outs}
+    assert err["w_only"] > 0 and err["a_only"] > 0
+    # partial quantization errs no more than full quantization (up to noise)
+    assert err["w_only"] <= err["quant"] * 2.0
+    assert err["a_only"] <= err["quant"] * 2.0
+
+
+def test_per_site_mode_override(rng):
+    """modes dict: one site raw while the rest quantize."""
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    full = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+    partial = np.asarray(vit_forward(
+        CFG, params, x, qstate, {"*": "quant", "head": "raw"}))
+    assert not np.array_equal(full, partial)
+
+
+def test_multi_batch_capture_concat(rng):
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    b1 = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    b2 = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    taps_multi = capture_all_sites(TinySpec, params, [b1, b2])
+    taps_single = capture_all_sites(TinySpec, params,
+                                    [np.concatenate([b1, b2])])
+    for nm in taps_single:
+        for a, b in zip(taps_multi[nm], taps_single[nm]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_capture_spill_matches_device(rng):
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    b = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    dev = capture_all_sites(TinySpec, params, [b], device_budget_bytes=None)
+    spl = capture_all_sites(TinySpec, params, [b], device_budget_bytes=1)
+    for nm in dev:
+        assert isinstance(spl[nm][0], np.ndarray)
+        for a, c in zip(dev[nm], spl[nm]):
+            np.testing.assert_allclose(np.asarray(a), c, rtol=1e-6, atol=1e-6)
+
+
+def test_swin_384_geometry():
+    spec = model_spec("swin_base_384")
+    cfg = spec.cfg
+    assert [cfg.stage_res(i) for i in range(4)] == [96, 48, 24, 12]
+    for i in range(4):
+        ws, shift0 = cfg.stage_window_shift(i, 0)
+        _, shift1 = cfg.stage_window_shift(i, 1)
+        assert ws == 12
+        assert shift0 == 0
+        # last stage: resolution == window -> shift disabled
+        assert shift1 == (0 if cfg.stage_res(i) <= 12 else 6)
+
+
+def test_zoo_specs_consistent():
+    for name in ("vit_tiny", "vit_small", "vit_base", "vit_large",
+                 "deit_tiny", "deit_small", "deit_base"):
+        spec = model_spec(name)
+        assert spec.cfg.dim % spec.cfg.heads == 0
+    for name in ("swin_tiny", "swin_small", "swin_base"):
+        spec = model_spec(name)
+        for i in range(len(spec.cfg.depths)):
+            assert spec.cfg.stage_res(i) % min(7, spec.cfg.stage_res(i)) == 0
