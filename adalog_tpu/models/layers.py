@@ -181,8 +181,17 @@ def qconv2d(p: ConvP, site: Optional[ConvSite], x, *, mode: str = "raw",
 
 def qmatmul(site: Optional[MatMulSite], A, B, *, mode: str = "raw",
             training: bool = False):
-    """A @ B with optional fake quantization of both operands (matmul.py:28-45)."""
+    """A @ B with optional fake quantization of both operands (matmul.py:28-45).
+
+    On TPU eval (when enabled) supported sites route through the Pallas fused
+    attention kernel (ops/fq_attn.py): both quantizers fused into the batched
+    MXU matmul.
+    """
     if site is not None and mode == "quant":
+        if not training and A.ndim == 4:
+            from adalog_tpu.ops import fq_attn
+            if fq_attn.supports(site, mode):
+                return fq_attn.run(site, A, B)
         A = apply_quantizer(site.Aq, A, training=training)
         B = apply_quantizer(site.Bq, B, training=training)
     return jnp.matmul(A, B, preferred_element_type=A.dtype,

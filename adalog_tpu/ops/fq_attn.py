@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: fused fake-quant attention A@B (softmax·V).
+
+The post-softmax matmul quantizes A with the AdaLog log quantizer (scale
+frozen at 1.0, searched base q) and B (the values) with a per-head asymmetric
+uniform quantizer (reference matmul.py:286-378). This kernel fuses both
+quantizers into the batched matmul: per (batch·head) program, the A and B
+tiles are quantized in VMEM (VPU: log2/exp2 for the AdaLog decomposition) and
+fed straight to the MXU — no quantized copies round-trip through HBM.
+
+Also handles the q@kT site (both operands uniform) via kind='uniform'.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from adalog_tpu.quantizers.logarithm import ADALOG_R
+
+INTERPRET = False
+
+
+def _uq(x, s, z, bits):
+    N = 2 ** (bits - 1)
+    zr = jnp.round(z)
+    q = jnp.clip(jnp.round(x / s) + zr, 0.0, 2.0 * N - 1)
+    return (q - zr) * s
+
+
+def _adalog_unit(x, q, bits):
+    """AdaLog fake quant at scale 1.0 (post-softmax A: x in [0, 1])."""
+    N = 2 ** (bits - 1)
+    # no upper clamp needed (x <= 1); lower clamp keeps log finite for x=0
+    code = jnp.round(-jnp.log2(jnp.maximum(x, 1e-15)) * ADALOG_R / q)
+    keep = (code < 2 * N).astype(jnp.float32)
+    code = jnp.clip(code, 0.0, 2.0 * N - 1)
+    prod = code * q
+    ts = 1.0 / (4 * N - 2)
+    mant = jnp.round(jnp.exp2(-jnp.remainder(prod, ADALOG_R) / ADALOG_R) / ts) * ts
+    return jnp.exp2(-jnp.floor(prod / ADALOG_R)) * mant * keep
+
+
+def _kernel(ap_ref, bp_ref, a_ref, b_ref, out_ref, *, a_kind: str,
+            a_bits: int, b_bits: int, compute_dtype):
+    a = a_ref[0].astype(jnp.float32)
+    b = b_ref[0].astype(jnp.float32)
+    if a_kind == "adalog":
+        a_q = _adalog_unit(a, ap_ref[0, 0], a_bits)
+    else:
+        a_q = _uq(a, ap_ref[0, 0], ap_ref[0, 1], a_bits)
+    b_q = _uq(b, bp_ref[0, 0], bp_ref[0, 1], b_bits)
+    out_ref[0] = jax.lax.dot(
+        a_q.astype(compute_dtype), b_q.astype(compute_dtype),
+        precision=(None if compute_dtype == jnp.bfloat16
+                   else jax.lax.Precision.HIGHEST),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("a_kind", "a_bits", "b_bits"))
+def fq_attn_matmul(A, B, a_params, b_params, *, a_kind: str, a_bits: int,
+                   b_bits: int):
+    """Fused fake-quant batched matmul for attention sites.
+
+    A: (G, S, K); B: (G, K, C) with G = batch*heads flattened.
+    a_params: (G, 2) [scale-or-q, zp]; b_params: (G, 2) [scale, zp].
+    For a_kind='adalog', a_params[:, 0] holds the log base q (scale is 1.0).
+    Returns (G, S, C) float32.
+    """
+    G, S, K = A.shape
+    C = B.shape[-1]
+    compute_dtype = A.dtype
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, a_kind=a_kind, a_bits=a_bits,
+                          b_bits=b_bits, compute_dtype=compute_dtype),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, K), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, S, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * S * K * C,
+            bytes_accessed=(G * S * K + G * K * C + G * S * C) * 4,
+            transcendentals=G * S * K if a_kind == "adalog" else 0),
+        interpret=INTERPRET,
+    )(a_params, b_params, A, B)
+    return out
+
+
+def _head_params(qs, H: int):
+    """Per-head (scale-or-q, zp) rows -> (H, 2) float32; per-tensor layouts
+    broadcast across heads."""
+    def vec(a):
+        if a is None:
+            return jnp.zeros((H,), jnp.float32)
+        flat = a.reshape(-1).astype(jnp.float32)
+        return jnp.broadcast_to(flat if flat.size == H else flat[:1], (H,))
+
+    p0 = vec(qs.log_q) if qs.kind == "adalog" else vec(qs.scale)
+    return jnp.stack([p0, vec(qs.zero_point)], axis=1)
+
+
+def supports(site, mode: str) -> bool:
+    from adalog_tpu.ops.fq_gemm import enabled
+    if not enabled() or mode != "quant":
+        return False
+    Aq, Bq = site.Aq, site.Bq
+    if Bq.kind != "uniform" or Bq.bits == 32 or Aq.bits == 32:
+        return False
+    return Aq.kind in ("uniform", "adalog")
+
+
+def run(site, A, B):
+    """Dispatch a 4D (N, H, S, K) attention matmul through the fused kernel."""
+    N, H, S, K = A.shape
+    C = B.shape[-1]
+    ap = jnp.tile(_head_params(site.Aq, H), (N, 1))
+    bp = jnp.tile(_head_params(site.Bq, H), (N, 1))
+    out = fq_attn_matmul(
+        A.reshape(N * H, S, K), B.reshape(N * H, K, C), ap, bp,
+        a_kind=site.Aq.kind, a_bits=site.Aq.bits, b_bits=site.Bq.bits)
+    return out.reshape(N, H, S, C).astype(A.dtype)

@@ -1,0 +1,57 @@
+"""Pallas fused attention fake-quant matmul vs the unfused XLA path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adalog_tpu.ops import fq_attn
+from adalog_tpu.models.layers import MatMulSite, qmatmul
+from adalog_tpu.quantizers.state import QuantizerState
+from adalog_tpu.quantizers.apply import apply_quantizer
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    fq_attn.INTERPRET = True
+    yield
+    fq_attn.INTERPRET = False
+
+
+def _site(rng, H, post_softmax: bool):
+    Bq = QuantizerState(
+        scale=jnp.asarray(0.1 + 0.05 * rng.random((1, H, 1, 1)), jnp.float32),
+        zero_point=jnp.asarray(
+            rng.integers(6, 10, (1, H, 1, 1)).astype(np.float32)),
+        kind="uniform", bits=4, symmetric=False)
+    if post_softmax:
+        Aq = QuantizerState(scale=jnp.ones((1, 1, 1, 1), jnp.float32),
+                            log_q=jnp.asarray(29.0), kind="adalog", bits=4)
+    else:
+        Aq = QuantizerState(
+            scale=jnp.asarray(0.2 + 0.1 * rng.random((1, H, 1, 1)), jnp.float32),
+            zero_point=jnp.asarray(
+                rng.integers(6, 10, (1, H, 1, 1)).astype(np.float32)),
+            kind="uniform", bits=4, symmetric=False)
+    return MatMulSite(Aq=Aq, Bq=Bq)
+
+
+@pytest.mark.parametrize("post_softmax", [False, True])
+def test_fused_matches_unfused(rng, post_softmax):
+    N, H, S, C = 2, 3, 16, 8
+    if post_softmax:
+        A = jnp.asarray(jax.nn.softmax(
+            jnp.asarray(rng.standard_normal((N, H, S, S)).astype(np.float32)),
+            axis=-1))
+        B = jnp.asarray(rng.standard_normal((N, H, S, C)).astype(np.float32))
+    else:
+        A = jnp.asarray(rng.standard_normal((N, H, S, C)).astype(np.float32))
+        B = jnp.asarray(rng.standard_normal((N, H, C, S)).astype(np.float32))
+    site = _site(rng, H, post_softmax)
+
+    want = jnp.matmul(apply_quantizer(site.Aq, A),
+                      apply_quantizer(site.Bq, B),
+                      precision=jax.lax.Precision.HIGHEST)
+    got = fq_attn.run(site, A, B)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
