@@ -29,7 +29,7 @@ def _zp_grid(bits: int, num_zp: int) -> jnp.ndarray:
 def weight_candidates(w_v, bits: int, eq_n: int, l=0.9, r=1.0):
     """w_v: (V, R, I) -> scales2d/zps2d (eq_n, V*R) canonical unit layout."""
     N = 2 ** (bits - 1)
-    num_zp = min(16, N)
+    num_zp = min(16, N, eq_n)
     num_scale = eq_n // num_zp
     V, R, _ = w_v.shape
     pct = jnp.asarray([l, r], jnp.float32)
@@ -47,7 +47,7 @@ def act_candidates(x2d, bits: int, eq_n: int, *, channel_wise: bool,
                    l=0.9, r=1.0):
     """x2d: (T, I) -> scales2d/zps2d of shape (eq_n, 1) or (eq_n, I)."""
     N = 2 ** (bits - 1)
-    num_zp = min(16, 2 * N)
+    num_zp = min(16, 2 * N, eq_n)
     num_scale = eq_n // num_zp
     pct = jnp.asarray([l, r], jnp.float32)
     if channel_wise:
@@ -74,7 +74,7 @@ def matmul_candidates(op, bits: int, eq_n: int, *, head_channel_wise: bool,
     (matmul.py:212); callers pass the B bits here.
     """
     N = 2 ** (bits - 1)
-    num_zp = min(16, N)
+    num_zp = min(16, N, eq_n)
     num_scale = eq_n // num_zp
     pct = jnp.asarray([l, r], jnp.float32)
     if head_channel_wise:

@@ -431,8 +431,8 @@ def search_conv(x, y, w, b, *, w_bits: int, eq_n: int, steps: int,
     w_flat = w.reshape(OC, -1)
     tgt = y - b if b is not None else y
     N_lv = 2 ** (w_bits - 1)
-    num_zp = N_lv
-    num_scale = eq_n // num_zp
+    num_zp = min(N_lv, eq_n)      # conv uses num_zp = n_levels (conv.py:266),
+    num_scale = eq_n // num_zp    # clamped so the scale grid is never empty
 
     # percentile candidates, conv variant (num_zp differs from linear)
     pct = jnp.asarray([0.9, 1.0], jnp.float32)
