@@ -22,4 +22,21 @@ Reference parity map (file:line cites point into the upstream repo):
 
 __version__ = "0.1.0"
 
-from adalog_tpu.utils.config import Config  # noqa: F401
+from adalog_tpu.utils.config import Config, load_config  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy convenience API (keeps `import adalog_tpu` light)
+    if name == "QuantCalibrator":
+        from adalog_tpu.calib.calibrator import QuantCalibrator
+        return QuantCalibrator
+    if name == "BlockReconstructor":
+        from adalog_tpu.recon.brecq import BlockReconstructor
+        return BlockReconstructor
+    if name == "build_model":
+        from adalog_tpu.models.zoo import build_model
+        return build_model
+    if name == "model_forward_fn":
+        from adalog_tpu.models.zoo import model_forward_fn
+        return model_forward_fn
+    raise AttributeError(name)
