@@ -267,10 +267,10 @@ class QuantCalibrator:
                 self._do_conv(name, ss, *tap)
             elif ss.kind in ("matmul", "matmul_post"):
                 self._do_matmul(name, ss, *tap)
+            elif ss.kind in ("linear", "linear_reparam"):
+                self._do_linear(name, ss, *tap)
             else:
-                self._do_linear(name, ss, *tap) if ss.kind in (
-                    "linear", "linear_reparam") else \
-                    self._do_postgelu(name, ss, *tap)
+                self._do_postgelu(name, ss, *tap)
             # free this site's captures eagerly (device memory)
             taps[name] = None
             self._resume_save()

@@ -6,6 +6,10 @@ them: for every calibrated site, compute the layer-local output error of
 weight-only, activation-only, and full quantization against the raw capture —
 one report for the whole model from a single capture pass. Used to locate the
 layers that dominate accuracy loss at low bit widths.
+
+Note: run BEFORE the post-GeLU bias fold for cleanest fc2 numbers — after the
+fold, a_only mixes raw weights with a bias compensated for quantized weights
+(the reference's debug modes have the same post-reparam_bias artifact).
 """
 
 from __future__ import annotations
