@@ -123,6 +123,20 @@ def gather_rel_pos_bias(table: np.ndarray, ws: int) -> np.ndarray:
     return bias.transpose(2, 0, 1)[None]
 
 
+def ungather_rel_pos_bias(bias: np.ndarray, ws: int) -> np.ndarray:
+    """Inverse of gather_rel_pos_bias: (1, H, N, N) -> ((2ws-1)^2, H).
+
+    Every relative offset occurs for at least one (i, j) pair, so scattering
+    the gathered bias back through the index recovers the full table exactly.
+    """
+    idx = relative_position_index(ws).reshape(-1)          # (N*N,)
+    H = bias.shape[1]
+    flat = np.asarray(bias)[0].reshape(H, -1)              # (H, N*N)
+    table = np.zeros(((2 * ws - 1) ** 2, H), np.float32)
+    table[idx] = flat.T                                    # later dups identical
+    return table
+
+
 def shift_attn_mask(res: int, ws: int, shift: int) -> np.ndarray:
     """(nW, N, N) additive mask (-100 / 0) for shifted windows."""
     img = np.zeros((res, res), np.int32)

@@ -63,8 +63,8 @@ def export_reference_state_dict(spec: ModelSpec, cfg: Config, params,
                                 qstate) -> dict:
     """Inverse interop: emit a reference-format flat state dict (numpy) from
     our (params, qstate) so reference-side tooling can consume our results.
-    (ViT/DeiT backbones; Swin backbone export pending the rel-pos-bias table
-    inverse — quantizer tensors are emitted for all families.)"""
+    (ViT/DeiT and Swin backbones; the Swin rel-pos-bias tables are recovered
+    from the pre-gathered biases by the exact scatter inverse.)"""
     sd = {}
     if spec.family == "vit":
         m, p = spec.cfg, params
@@ -87,6 +87,39 @@ def export_reference_state_dict(spec: ModelSpec, cfg: Config, params,
                     sd[f"{key}.bias"] = _np(lin.b)
         sd["norm.weight"], sd["norm.bias"] = _np(p.norm.g), _np(p.norm.b)
         sd["head.weight"], sd["head.bias"] = _np(p.head.w), _np(p.head.b)
+    else:
+        from adalog_tpu.models.swin import ungather_rel_pos_bias
+        m, p = spec.cfg, params
+        sd["patch_embed.proj.weight"] = _np(p.patch_proj.w)
+        sd["patch_embed.proj.bias"] = _np(p.patch_proj.b)
+        sd["patch_embed.norm.weight"] = _np(p.patch_norm.g)
+        sd["patch_embed.norm.bias"] = _np(p.patch_norm.b)
+        for i, sp in enumerate(p.stages):
+            if sp.downsample is not None:
+                d = f"layers.{i}.downsample"
+                sd[f"{d}.norm.weight"] = _np(sp.downsample.norm.g)
+                sd[f"{d}.norm.bias"] = _np(sp.downsample.norm.b)
+                sd[f"{d}.reduction.weight"] = _np(sp.downsample.reduction.w)
+                if sp.downsample.reduction.b is not None:
+                    sd[f"{d}.reduction.bias"] = _np(sp.downsample.reduction.b)
+            ws = min(m.window, m.stage_res(i))
+            for j, bp in enumerate(sp.blocks):
+                pre = f"layers.{i}.blocks.{j}"
+                sd[f"{pre}.norm1.weight"], sd[f"{pre}.norm1.bias"] = \
+                    _np(bp.norm1.g), _np(bp.norm1.b)
+                sd[f"{pre}.norm2.weight"], sd[f"{pre}.norm2.bias"] = \
+                    _np(bp.norm2.g), _np(bp.norm2.b)
+                sd[f"{pre}.attn.relative_position_bias_table"] = \
+                    ungather_rel_pos_bias(np.asarray(bp.attn.rel_pos_bias), ws)
+                for key, lin in ((f"{pre}.attn.qkv", bp.attn.qkv),
+                                 (f"{pre}.attn.proj", bp.attn.proj),
+                                 (f"{pre}.mlp.fc1", bp.fc1),
+                                 (f"{pre}.mlp.fc2", bp.fc2)):
+                    sd[f"{key}.weight"] = _np(lin.w)
+                    if lin.b is not None:
+                        sd[f"{key}.bias"] = _np(lin.b)
+        sd["norm.weight"], sd["norm.bias"] = _np(p.norm.g), _np(p.norm.b)
+        sd["head.fc.weight"], sd["head.fc.bias"] = _np(p.head.w), _np(p.head.b)
 
     from adalog_tpu.quantizers.logarithm import make_adalog_tables
     for name, site in qstate.items():
@@ -130,7 +163,10 @@ def load_reference_checkpoint(spec: ModelSpec, cfg: Config, path: str,
     site weights (possibly reparamed) and LayerNorm affines overwrite the base;
     quantizer tensors become the qstate.
     """
-    sd = read_state_dict(path)
+    return _load_reference_sd(spec, cfg, read_state_dict(path), params)
+
+
+def _load_reference_sd(spec: ModelSpec, cfg: Config, sd: dict, params=None):
     if params is None:
         _, params = build_model(spec.name)
     # 1) model weights: the reference dict uses timm names for everything the
