@@ -14,8 +14,8 @@ from adalog_tpu.calib.calibrator import QuantCalibrator
 from adalog_tpu.calib.layout import quant_layout, tree_get
 from adalog_tpu.recon.brecq import BlockReconstructor
 
-CFG = SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(1, 2),
-                 heads=(2, 4), window=4, num_classes=10)
+CFG = SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 2),
+                 heads=(2, 4), window=4, num_classes=10)  # stage0 block 1 is SHIFTED
 
 
 class TinySpec:

@@ -15,8 +15,8 @@ import pytest
 from adalog_tpu.models.swin import SwinConfig, swin_forward
 from adalog_tpu.models.load import load_swin
 
-CFG = SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(1, 2),
-                 heads=(2, 4), window=4, num_classes=10)
+CFG = SwinConfig(img_size=32, patch_size=4, embed_dim=16, depths=(2, 1),
+                 heads=(2, 4), window=4, num_classes=10)  # stage0 block 1 is SHIFTED
 
 
 @pytest.mark.slow
