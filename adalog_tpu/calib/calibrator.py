@@ -113,6 +113,7 @@ class QuantCalibrator:
         self.qstate: Dict[str, object] = {}
         self.mesh = mesh
         self.resume_path = resume_path
+        self._pending = {}
         SRCH.S.set_score_dtype(cfg.search_dtype)
 
     def _shard_tokens(self, x):
@@ -190,13 +191,50 @@ class QuantCalibrator:
             p = new_lin
             x2 = rewrite_cached_input(x2, r, b)
 
+        if getattr(self.cfg, "batch_sites", True) and p.b is not None and                 self.mesh is None:
+            # defer: same-shape sites are searched together in one vmapped
+            # program (layer-batched calibration)
+            key = (x2.shape, p.w.shape, ss.w_bits, ss.a_bits, ss.n_V)
+            self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
+            return
+
         w_s, w_z, a_s, a_z = SRCH.search_linear_default(
             x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
             rounds=self.cfg.search_round, gram=self.cfg.w_search_gram,
             **self._common())
+        self._set_linear_state(name, ss, w_s, w_z, a_s, a_z)
+
+    def _set_linear_state(self, name, ss, w_s, w_z, a_s, a_z):
         aq = QuantizerState(scale=a_s, zero_point=a_z, kind="uniform",
                             bits=ss.a_bits, symmetric=False)
         self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
+
+    def _flush_pending(self):
+        """Run deferred default-linear searches, layer-batched per shape group
+        (one vmapped XLA program per group; jobs of size 1 fall back)."""
+        for key, jobs in self._pending.items():
+            t1 = time.time()
+            ss = jobs[0][1]
+            common = dict(w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
+                          rounds=self.cfg.search_round,
+                          gram=self.cfg.w_search_gram, **self._common())
+            if len(jobs) == 1:
+                name, ss, x2, y2, p = jobs[0]
+                res = SRCH.search_linear_default(x2, y2, p.w, p.b, **common)
+                self._set_linear_state(name, ss, *res)
+            else:
+                xs = jnp.stack([j[2] for j in jobs])
+                ys = jnp.stack([j[3] for j in jobs])
+                ws = jnp.stack([j[4].w for j in jobs])
+                bs = jnp.stack([j[4].b for j in jobs])
+                w_s, w_z, a_s, a_z = SRCH.search_linear_default_batched(
+                    xs, ys, ws, bs, **common)
+                for i, (name, ssi, _, _, _) in enumerate(jobs):
+                    self._set_linear_state(name, ssi, w_s[i], w_z[i],
+                                           a_s[i], a_z[i])
+            log.info("searched %d x %-30s [batched] in %.2fs",
+                     len(jobs), jobs[0][0], time.time() - t1)
+        self._pending = {}
 
     def _do_postgelu(self, name, ss: SiteSpec, x, y):
         p = tree_get(self.params, ss.param_path)
@@ -276,6 +314,8 @@ class QuantCalibrator:
             self._resume_save()
             log.info("calibrated %-38s [%s] in %.2fs", name, ss.kind,
                      time.time() - t1)
+        self._flush_pending()
+        self._resume_save()
         return self.params, self.qstate
 
     def finish_calibration(self):

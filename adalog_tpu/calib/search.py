@@ -93,12 +93,10 @@ def _wq(w_v, scale_u, zp_u, bits):
     return S.uq_asym(w_v, s, z, bits)
 
 
-@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
-                                   "rounds", "use_fpcs", "gram"))
-def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
-                          eq_n: int, steps: int, rounds: int, use_fpcs: bool,
-                          gram: bool = False):
-    """Default asymmetric Linear search (linear.py:525-545).
+def _linear_default_impl(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
+                         eq_n: int, steps: int, rounds: int, use_fpcs: bool,
+                         gram: bool = False, mem_scale: int = 1):
+    """Default asymmetric Linear search (linear.py:525-545), untraced body.
 
     x: (T, I) flattened input; y: (T, O) raw output; w: (O, I); b: (O,)|None.
     Flow: weight self-FPCS, activation self-FPCS, then ``rounds`` alternating
@@ -117,14 +115,14 @@ def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
     # ---- init: self searches (linear.py:527-529) ----
     ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
     w_s, w_z = fpcs(
-        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits
-                                         ).reshape(eq_n, V * R),
+        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits,
+                                         mem_scale).reshape(eq_n, V * R),
         ws0, wz0, eq_n=eq_n, steps=st)
     as0, az0 = C.act_candidates(x, a_bits, eq_n, channel_wise=False)
     a_s, a_z = fpcs(
         lambda s, z: S.score_act_self(x, s[:, :, None], z[:, :, None], a_bits,
-                                      channel_wise=False, n_batch=1
-                                      ).reshape(eq_n, 1),
+                                      channel_wise=False, n_batch=1,
+                                      mem_scale=mem_scale).reshape(eq_n, 1),
         as0, az0, eq_n=eq_n, steps=st, clamp_min=1e-4)
 
     # ---- rounds: output-MSE searches (linear.py:536-542), as one lax.scan
@@ -137,15 +135,17 @@ def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
         if gram:
             G, Cm = S.gram_stats(x_q, tgt)
             w_score = lambda s, z: S.score_linear_w_out_gram(
-                G, Cm, w_v, *exp_w(s, z), w_bits).reshape(eq_n, V * R)
+                G, Cm, w_v, *exp_w(s, z), w_bits,
+                mem_scale).reshape(eq_n, V * R)
         else:
             w_score = lambda s, z: S.score_linear_w_out(
-                x_q, tgt, w_v, *exp_w(s, z), w_bits).reshape(eq_n, V * R)
+                x_q, tgt, w_v, *exp_w(s, z), w_bits,
+                mem_scale).reshape(eq_n, V * R)
         w_s, w_z = fpcs(w_score, ws0, wz0, eq_n=eq_n, steps=st)
         w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
         a_s, a_z = fpcs(
-            lambda s, z: S.score_linear_a_out(x, tgt, w_q2, s, z, a_bits
-                                              )[:, None],
+            lambda s, z: S.score_linear_a_out(x, tgt, w_q2, s, z, a_bits,
+                                              mem_scale)[:, None],
             as0, az0, eq_n=eq_n, steps=st, clamp_min=1e-4)
         return (w_s, w_z, a_s, a_z), None
 
@@ -153,6 +153,40 @@ def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
         round_body, (w_s, w_z, a_s, a_z), None, length=rounds)
 
     return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1), a_s, a_z)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "gram"))
+def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
+                          eq_n: int, steps: int, rounds: int, use_fpcs: bool,
+                          gram: bool = False):
+    return _linear_default_impl(x, y, w, b, w_bits=w_bits, a_bits=a_bits,
+                                n_V=n_V, eq_n=eq_n, steps=steps, rounds=rounds,
+                                use_fpcs=use_fpcs, gram=gram)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "gram"))
+def search_linear_default_batched(xs, ys, ws, bs, *, w_bits: int, a_bits: int,
+                                  n_V: int, eq_n: int, steps: int, rounds: int,
+                                  use_fpcs: bool, gram: bool = False):
+    """Layer-batched default Linear search: all L same-shape sites (e.g. every
+    block's qkv) searched in ONE vmapped program — per-site quantiles, FPCS
+    schedules and alternating rounds run lockstep on the MXU, with the scoring
+    memory budget divided by L.
+
+    xs: (L, T, I); ys: (L, T, O); ws: (L, O, I); bs: (L, O).
+    Returns stacked (w_scale (L,V,R,1), w_zp, a_scale (L,1), a_zp (L,1)).
+    """
+    L = xs.shape[0]
+
+    def one(x, y, w, b):
+        return _linear_default_impl(x, y, w, b, w_bits=w_bits, a_bits=a_bits,
+                                    n_V=n_V, eq_n=eq_n, steps=steps,
+                                    rounds=rounds, use_fpcs=use_fpcs,
+                                    gram=gram, mem_scale=L)
+
+    return jax.vmap(one)(xs, ys, ws, bs)
 
 
 @partial(jax.jit, static_argnames=("a_bits", "eq_n", "steps", "use_fpcs"))

@@ -100,7 +100,7 @@ def adalog_fq_search(x, scale, q, bits: int, clamp_upper: bool = True):
 # Self-searches (score the quantization error of the tensor itself)
 # ---------------------------------------------------------------------------
 
-def score_weight_self(w_v, scales, zps, bits: int):
+def score_weight_self(w_v, scales, zps, bits: int, mem_scale: int = 1):
     """w_v: (V, R, I); scales/zps: (E, V, R, 1) -> similarity (E, V, R).
 
     Reference linear.py:296-318 (_search_best_w_scale_self): per-row-group mean
@@ -113,11 +113,11 @@ def score_weight_self(w_v, scales, zps, bits: int):
         dq = uq_asym(w_v, s, z, bits)
         return -jnp.mean(jnp.square(w_v - dq), axis=-1)
 
-    return _map(one, (scales, zps), E, w_v.size * 4)
+    return _map(one, (scales, zps), E, w_v.size * 4 * mem_scale)
 
 
 def score_act_self(x, scales, zps, bits: int, *, channel_wise: bool,
-                   n_batch: int):
+                   n_batch: int, mem_scale: int = 1):
     """x: (T, I) flattened tokens from n_batch calibration samples.
 
     Per-tensor: scales (E, 1) -> (E,);  channel-wise: scales (E, I) -> (E, I).
@@ -135,14 +135,15 @@ def score_act_self(x, scales, zps, bits: int, *, channel_wise: bool,
             return -jnp.sum(err, axis=0) * (n_batch / x.shape[0])
         return -jnp.mean(err) * n_batch
 
-    return _map(one, (scales, zps), E, x.size * 4)
+    return _map(one, (scales, zps), E, x.size * 4 * mem_scale)
 
 
 # ---------------------------------------------------------------------------
 # Output-MSE searches (score layer-output reconstruction)
 # ---------------------------------------------------------------------------
 
-def score_linear_w_out(x_q, target, w_v, scales, zps, bits: int):
+def score_linear_w_out(x_q, target, w_v, scales, zps, bits: int,
+                       mem_scale: int = 1):
     """Weight-candidate scoring against layer output.
 
     x_q: (T, I) activation-quantized input; target: (T, O) raw output minus
@@ -167,7 +168,7 @@ def score_linear_w_out(x_q, target, w_v, scales, zps, bits: int):
                              precision=HIGHEST)
         return -jnp.sum(jnp.square(tgt - out), axis=0)        # (V, R)
 
-    return _map(one, (scales, zps), E, (T * O + V * R * I) * 4)
+    return _map(one, (scales, zps), E, (T * O + V * R * I) * 4 * mem_scale)
 
 
 def gram_stats(x_q, target):
@@ -182,7 +183,8 @@ def gram_stats(x_q, target):
     return G, Cm
 
 
-def score_linear_w_out_gram(G, Cm, w_v, scales, zps, bits: int):
+def score_linear_w_out_gram(G, Cm, w_v, scales, zps, bits: int,
+                            mem_scale: int = 1):
     """Gram-form weight-candidate scoring, ranking-equivalent to
     score_linear_w_out: per output unit,
         -SSE[e,o] = -(Σtgt² - 2·w·C[o] + w·G·w) ≡ 2·w·C[o] - w·G·w + const.
@@ -202,10 +204,11 @@ def score_linear_w_out_gram(G, Cm, w_v, scales, zps, bits: int):
         term3 = jnp.sum(wG * w_dq, axis=-1)                   # (V, R)
         return 2.0 * term2 - term3
 
-    return _map(one, (scales, zps), E, 2 * V * R * I * 4)
+    return _map(one, (scales, zps), E, 2 * V * R * I * 4 * mem_scale)
 
 
-def score_linear_a_out(x, target, w_q, scales, zps, bits: int):
+def score_linear_a_out(x, target, w_q, scales, zps, bits: int,
+                       mem_scale: int = 1):
     """Activation-candidate scoring against layer output (per-tensor).
 
     x: (T, I); target: (T, O) minus bias; w_q: (O, I) weight-quantized.
@@ -221,7 +224,7 @@ def score_linear_a_out(x, target, w_q, scales, zps, bits: int):
         out = _mm(x_dq, w_q.T)
         return -jnp.sum(jnp.square(target - out))
 
-    return _map(one, (scales, zps), E, (T * O + x.size) * 4)
+    return _map(one, (scales, zps), E, (T * O + x.size) * 4 * mem_scale)
 
 
 def score_linear_a_out_twin(x, target, w_q, scales_pos, scale_neg, bits: int):

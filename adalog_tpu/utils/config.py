@@ -41,6 +41,7 @@ class Config:
     # TPU-native additions (no reference equivalent)
     search_dtype: str = "float32"   # dtype of the candidate-scoring matmuls
     w_search_gram: bool = False     # Gram-form weight scoring (O(O*I^2)/cand)
+    batch_sites: bool = True        # layer-batched (vmapped) same-shape searches
     eval_dtype: str = "float32"     # dtype of the quantized eval forward
     capture_device_budget_bytes: int = 8 << 30  # spill capture to host above this
     recon_iters: int = 20000
