@@ -242,6 +242,40 @@ class BlockReconstructor:
                          jax.random.PRNGKey(seed))
         return jax.device_get(tr), float(recs[0]), float(recs[-1])
 
+    def _train_block_group(self, units, ios, quant_act: bool, seed: int = 0):
+        """Train a group of same-shape blocks CONCURRENTLY (vmapped).
+
+        Blocks reconstruct against pristine-model I/O, so they are mutually
+        independent (block_recon.py:62-82) — the reference's sequential loop is
+        an implementation choice, not a data dependency. Identical per-block
+        semantics: same initial trainables, same optimizer, same PRNG stream
+        as the sequential path.
+        """
+        cfg = self.cfg
+        u0 = units[0]
+        modes = self._site_modes(u0, quant_act)
+        train = _get_train_fn(
+            u0.forward, quant_act=quant_act, rec_kind="mse",
+            iters=cfg.recon_iters, batch=cfg.optim_batch_size,
+            modes_key=tuple(sorted(modes.items())))
+
+        def stack(trees):
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+        bparams = stack([u.extract(self.params) for u in units])
+        qstates = stack([{cn: self.qstate[nm] for nm, cn in u.canon.items()
+                          if nm in self.qstate} for u in units])
+        tr0 = stack([self._init_trainables(u, quant_act) for u in units])
+        rins = jnp.stack([jnp.asarray(ios[u.name][0]) for u in units])
+        routs = jnp.stack([jnp.asarray(ios[u.name][1]) for u in units])
+        keys = jnp.stack([jax.random.PRNGKey(seed)] * len(units))
+
+        tr, recs = jax.vmap(train)(bparams, qstates, rins, routs, tr0, keys)
+        tr = jax.device_get(tr)
+        per_block = [jax.tree_util.tree_map(lambda x, i=i: x[i], tr)
+                     for i in range(len(units))]
+        return per_block, np.asarray(recs)
+
     def _freeze_block(self, unit: BlockUnit, trainables, quant_act: bool):
         """Write back trained act scales; freeze hard-rounded weights into the
         params and drop alpha (block_recon.py:128-137, 151-157)."""
@@ -270,14 +304,48 @@ class BlockReconstructor:
                         aq=site.aq.replace(scale=jnp.asarray(tr["a"])))
 
     def reconstruct(self, batches: List[np.ndarray], quant_act: bool = True):
-        """Reconstruct every block unit; returns (params, qstate)."""
+        """Reconstruct every block unit; returns (params, qstate).
+
+        Same-shape blocks (all 12 ViT blocks; Swin stage siblings) are trained
+        concurrently in groups of ``cfg.recon_block_group`` — vmapped over one
+        compiled training program.
+        """
         t0 = time.time()
         io = capture_block_io(self.spec, self.params_full, batches)
         log.info("block capture: %d units in %.1fs", len(io), time.time() - t0)
 
-        for unit in block_units(self.spec):
-            if unit.name not in io:
-                continue
+        group_n = max(1, getattr(self.cfg, "recon_block_group", 1))
+        units = [u for u in block_units(self.spec) if u.name in io]
+
+        # group same-forward, same-shape, non-head units
+        groups, singles = {}, []
+        for u in units:
+            if group_n > 1 and not u.name.endswith("head") and \
+                    len(u.canon) > 1:
+                key = (u.forward, io[u.name][0].shape, io[u.name][1].shape)
+                groups.setdefault(key, []).append(u)
+            else:
+                singles.append(u)
+
+        for key, us in groups.items():
+            for st in range(0, len(us), group_n):
+                chunk = us[st:st + group_n]
+                if len(chunk) == 1:
+                    singles.append(chunk[0])
+                    continue
+                t1 = time.time()
+                per_block, recs = self._train_block_group(chunk, io,
+                                                          quant_act)
+                for u, tr in zip(chunk, per_block):
+                    self._freeze_block(u, tr, quant_act)
+                log.info("reconstructed %d blocks [%s..] rec %.4f -> %.4f "
+                         "in %.1fs", len(chunk), chunk[0].name,
+                         float(recs[:, 0].mean()), float(recs[:, -1].mean()),
+                         time.time() - t1)
+                for u in chunk:
+                    io[u.name] = None
+
+        for unit in singles:
             raw_in, raw_out = io[unit.name]
             rec_kind = "kl" if unit.name.endswith("head") else "mse"
             t1 = time.time()

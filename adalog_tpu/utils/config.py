@@ -45,6 +45,7 @@ class Config:
     eval_dtype: str = "float32"     # dtype of the quantized eval forward
     capture_device_budget_bytes: int = 8 << 30  # spill capture to host above this
     recon_iters: int = 20000
+    recon_block_group: int = 4      # same-shape blocks trained concurrently (vmap)
     use_pallas: bool = True     # use Pallas TPU kernels where available
 
     @classmethod

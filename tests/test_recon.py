@@ -96,3 +96,29 @@ def test_reconstructed_model_still_runs(rng):
     x = jnp.asarray(batches[0])
     out = vit_forward(CFG, new_params, x, new_qstate, {"*": "quant"})
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_grouped_block_training_equals_sequential(rng):
+    """vmapped block-group training == sequential per-block training."""
+    from adalog_tpu.models.vit import vit_forward
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+
+    results = {}
+    for group in (1, 4):
+        cfg, params, qstate, layout = _setup()
+        cfg.recon_block_group = group
+        recon = BlockReconstructor(TinySpec, params, params, qstate, layout,
+                                   cfg)
+        p, q = recon.reconstruct(batches, quant_act=True)
+        results[group] = (p, q)
+
+    p1, q1 = results[1]
+    p4, q4 = results[4]
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    x = jnp.asarray(batches[0])
+    y1 = np.asarray(vit_forward(CFG, p1, x, q1, {"*": "quant"}))
+    y4 = np.asarray(vit_forward(CFG, p4, x, q4, {"*": "quant"}))
+    np.testing.assert_allclose(y4, y1, rtol=1e-5, atol=1e-5)
