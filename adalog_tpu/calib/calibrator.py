@@ -191,9 +191,13 @@ class QuantCalibrator:
             p = new_lin
             x2 = rewrite_cached_input(x2, r, b)
 
-        if getattr(self.cfg, "batch_sites", True) and p.b is not None and                 self.mesh is None:
+        if getattr(self.cfg, "batch_sites", True) and p.b is not None \
+                and self.mesh is None:
             # defer: same-shape sites are searched together in one vmapped
-            # program (layer-batched calibration)
+            # program (layer-batched calibration). In capture-spill mode the
+            # stash stays on host so deferral cannot blow device memory.
+            if isinstance(y, np.ndarray) and not isinstance(x2, np.ndarray):
+                x2 = np.asarray(x2)
             key = (x2.shape, p.w.shape, ss.w_bits, ss.a_bits, ss.n_V)
             self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
             return
