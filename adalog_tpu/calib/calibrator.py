@@ -198,7 +198,8 @@ class QuantCalibrator:
             # stash stays on host so deferral cannot blow device memory.
             if isinstance(y, np.ndarray) and not isinstance(x2, np.ndarray):
                 x2 = np.asarray(x2)
-            key = (x2.shape, p.w.shape, ss.w_bits, ss.a_bits, ss.n_V)
+            key = ("linear", x2.shape, p.w.shape, ss.w_bits, ss.a_bits,
+                   ss.n_V)
             self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
             return
 
@@ -219,23 +220,39 @@ class QuantCalibrator:
         for key, jobs in self._pending.items():
             t1 = time.time()
             ss = jobs[0][1]
+            postgelu = key[0] == "postgelu"
             common = dict(w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
                           rounds=self.cfg.search_round,
                           gram=self.cfg.w_search_gram, **self._common())
+            shift = jnp.float32(GELU_MIN)
             if len(jobs) == 1:
                 name, ss, x2, y2, p = jobs[0]
-                res = SRCH.search_linear_default(x2, y2, p.w, p.b, **common)
-                self._set_linear_state(name, ss, *res)
+                if postgelu:
+                    res = SRCH.search_linear_postgelu_adalog(
+                        x2, y2, p.w, p.b, shift, **common)
+                    self._set_postgelu_state(name, ss, *res)
+                else:
+                    res = SRCH.search_linear_default(x2, y2, p.w, p.b,
+                                                     **common)
+                    self._set_linear_state(name, ss, *res)
             else:
                 xs = jnp.stack([j[2] for j in jobs])
                 ys = jnp.stack([j[3] for j in jobs])
                 ws = jnp.stack([j[4].w for j in jobs])
                 bs = jnp.stack([j[4].b for j in jobs])
-                w_s, w_z, a_s, a_z = SRCH.search_linear_default_batched(
-                    xs, ys, ws, bs, **common)
-                for i, (name, ssi, _, _, _) in enumerate(jobs):
-                    self._set_linear_state(name, ssi, w_s[i], w_z[i],
-                                           a_s[i], a_z[i])
+                if postgelu:
+                    w_s, w_z, a_s, q = \
+                        SRCH.search_linear_postgelu_adalog_batched(
+                            xs, ys, ws, bs, shift, **common)
+                    for i, (name, ssi, _, _, _) in enumerate(jobs):
+                        self._set_postgelu_state(name, ssi, w_s[i], w_z[i],
+                                                 a_s[i], q[i])
+                else:
+                    w_s, w_z, a_s, a_z = SRCH.search_linear_default_batched(
+                        xs, ys, ws, bs, **common)
+                    for i, (name, ssi, _, _, _) in enumerate(jobs):
+                        self._set_linear_state(name, ssi, w_s[i], w_z[i],
+                                               a_s[i], a_z[i])
             log.info("searched %d x %-30s [batched] in %.2fs",
                      len(jobs), jobs[0][0], time.time() - t1)
         self._pending = {}
@@ -250,17 +267,30 @@ class QuantCalibrator:
             aq = QuantizerState(scale=jnp.stack([s_pos, s_neg]),
                                 kind="twin", bits=ss.a_bits)
         else:
+            if getattr(self.cfg, "batch_sites", True) and p.b is not None \
+                    and self.mesh is None:
+                if isinstance(y, np.ndarray) and not isinstance(x2, np.ndarray):
+                    x2 = np.asarray(x2)
+                key = ("postgelu", x2.shape, p.w.shape, ss.w_bits, ss.a_bits,
+                       ss.n_V)
+                self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
+                return
             shift = jnp.float32(GELU_MIN)
             w_s, w_z, a_s, q = SRCH.search_linear_postgelu_adalog(
                 x2, y2, p.w, p.b, shift, w_bits=ss.w_bits, a_bits=ss.a_bits,
                 n_V=ss.n_V, rounds=self.cfg.search_round,
                 gram=self.cfg.w_search_gram, **self._common())
-            kind = ss.post_quantizer  # adalog | log2 | logsqrt2 (linear.py:990-994)
-            aq = QuantizerState(
-                scale=a_s, shift=jnp.full((1,), GELU_MIN, jnp.float32),
-                log_q=q if kind == "adalog" else None,
-                bias_reparamed=jnp.zeros((), jnp.bool_),
-                kind=kind, bits=ss.a_bits, shifted=True)
+            self._set_postgelu_state(name, ss, w_s, w_z, a_s, q)
+            return
+        self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
+
+    def _set_postgelu_state(self, name, ss, w_s, w_z, a_s, q):
+        kind = ss.post_quantizer  # adalog | log2 | logsqrt2 (linear.py:990-994)
+        aq = QuantizerState(
+            scale=a_s, shift=jnp.full((1,), GELU_MIN, jnp.float32),
+            log_q=q if kind == "adalog" else None,
+            bias_reparamed=jnp.zeros((), jnp.bool_),
+            kind=kind, bits=ss.a_bits, shifted=True)
         self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
 
     def _do_matmul(self, name, ss: SiteSpec, A, B, y):

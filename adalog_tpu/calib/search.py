@@ -203,13 +203,11 @@ def search_act_channelwise(x, *, a_bits: int, eq_n: int, steps: int,
     return a_s, a_z
 
 
-@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
-                                   "rounds", "use_fpcs", "gram"))
-def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
-                                  a_bits: int, n_V: int, eq_n: int, steps: int,
-                                  rounds: int, use_fpcs: bool,
-                                  gram: bool = False):
-    """Post-GeLU AdaLog fc2 search (linear.py:969-997).
+def _postgelu_adalog_impl(x, y, w, b, shift, *, w_bits: int,
+                          a_bits: int, n_V: int, eq_n: int, steps: int,
+                          rounds: int, use_fpcs: bool,
+                          gram: bool = False, mem_scale: int = 1):
+    """Post-GeLU AdaLog fc2 search (linear.py:969-997), untraced body.
 
     Flow: weight self-FPCS; scale init at the second-to-last percentile point;
     rounds of [log-base top-8 x 16-scale joint FPCS (width 32), then weight
@@ -226,8 +224,8 @@ def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
 
     ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
     w_s, w_z = fpcs(
-        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits
-                                         ).reshape(eq_n, V * R),
+        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits,
+                                         mem_scale).reshape(eq_n, V * R),
         ws0, wz0, eq_n=eq_n, steps=st)
 
     ud, scale_grid = C.postgelu_scale_candidates(x, shift, eq_n)
@@ -245,14 +243,14 @@ def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
             # stage 1: top base_num=8 log bases at the current scale
             sims_q = S.score_linear_a_out_adalog(
                 x, tgt, w_q2, shift, jnp.broadcast_to(a_s, (eq_n, 1)),
-                q_grid[:, None], a_bits)
+                q_grid[:, None], a_bits, mem_scale)
             _, q_idx = jax.lax.top_k(sims_q, 8)
             # stage 2: joint (scale, q): 16 scales x 8 bases, width-32 FPCS
             joint_s = jnp.tile(scale16, 8)[:, None]                  # (128, 1)
             joint_q = jnp.repeat(q_grid[q_idx], 16)[:, None]         # (128, 1)
             a_s2d, qv = fpcs(
                 lambda s, z: S.score_linear_a_out_adalog(
-                    x, tgt, w_q2, shift, s, z, a_bits)[:, None],
+                    x, tgt, w_q2, shift, s, z, a_bits, mem_scale)[:, None],
                 joint_s, joint_q, eq_n=eq_n, steps=st, width=32)
             a_s, q = a_s2d, qv[0]
         else:
@@ -270,10 +268,12 @@ def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
         if gram:
             G, Cm = S.gram_stats(x_q, tgt)
             w_score = lambda s, z: S.score_linear_w_out_gram(
-                G, Cm, w_v, *exp_w(s, z), w_bits).reshape(eq_n, V * R)
+                G, Cm, w_v, *exp_w(s, z), w_bits,
+                mem_scale).reshape(eq_n, V * R)
         else:
             w_score = lambda s, z: S.score_linear_w_out(
-                x_q, tgt, w_v, *exp_w(s, z), w_bits).reshape(eq_n, V * R)
+                x_q, tgt, w_v, *exp_w(s, z), w_bits,
+                mem_scale).reshape(eq_n, V * R)
         w_s, w_z = fpcs(w_score, ws0, wz0, eq_n=eq_n, steps=st)
         return (w_s, w_z, jnp.reshape(a_s, (1,)), q), None
 
@@ -283,6 +283,38 @@ def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
 
     return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1),
             jnp.reshape(a_s, (1,)), q)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "gram"))
+def search_linear_postgelu_adalog(x, y, w, b, shift, *, w_bits: int,
+                                  a_bits: int, n_V: int, eq_n: int, steps: int,
+                                  rounds: int, use_fpcs: bool,
+                                  gram: bool = False):
+    return _postgelu_adalog_impl(x, y, w, b, shift, w_bits=w_bits,
+                                 a_bits=a_bits, n_V=n_V, eq_n=eq_n,
+                                 steps=steps, rounds=rounds,
+                                 use_fpcs=use_fpcs, gram=gram)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "gram"))
+def search_linear_postgelu_adalog_batched(xs, ys, ws, bs, shift, *,
+                                          w_bits: int, a_bits: int, n_V: int,
+                                          eq_n: int, steps: int, rounds: int,
+                                          use_fpcs: bool, gram: bool = False):
+    """Layer-batched post-GeLU fc2 search: all L same-shape fc2 sites in one
+    vmapped program (see search_linear_default_batched)."""
+    L = xs.shape[0]
+
+    def one(x, y, w, b):
+        return _postgelu_adalog_impl(x, y, w, b, shift, w_bits=w_bits,
+                                     a_bits=a_bits, n_V=n_V, eq_n=eq_n,
+                                     steps=steps, rounds=rounds,
+                                     use_fpcs=use_fpcs, gram=gram,
+                                     mem_scale=L)
+
+    return jax.vmap(one)(xs, ys, ws, bs)
 
 
 @partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",

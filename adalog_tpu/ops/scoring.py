@@ -245,7 +245,8 @@ def score_linear_a_out_twin(x, target, w_q, scales_pos, scale_neg, bits: int):
     return _map(one, scales_pos, E, (T * O + x.size) * 4)
 
 
-def score_linear_a_out_adalog(x, target, w_q, shift, scales, qs, bits: int):
+def score_linear_a_out_adalog(x, target, w_q, shift, scales, qs, bits: int,
+                              mem_scale: int = 1):
     """Post-GeLU AdaLog scoring with per-candidate (scale, q) pairs.
 
     x: (T, I) raw input; target minus bias; shift: scalar (GELU_MIN).
@@ -262,7 +263,7 @@ def score_linear_a_out_adalog(x, target, w_q, shift, scales, qs, bits: int):
         out = _mm(x_dq, w_q.T)
         return -jnp.sum(jnp.square(target - out))
 
-    return _map(one, (scales, qs), E, (T * O + x.size) * 4)
+    return _map(one, (scales, qs), E, (T * O + x.size) * 4 * mem_scale)
 
 
 # ---------------------------------------------------------------------------
