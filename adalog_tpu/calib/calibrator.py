@@ -220,6 +220,9 @@ class QuantCalibrator:
         for key, jobs in self._pending.items():
             t1 = time.time()
             ss = jobs[0][1]
+            if key[0] in ("matmul", "matmul_post"):
+                self._flush_matmul_group(key, jobs, t1)
+                continue
             postgelu = key[0] == "postgelu"
             common = dict(w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
                           rounds=self.cfg.search_round,
@@ -256,6 +259,38 @@ class QuantCalibrator:
             log.info("searched %d x %-30s [batched] in %.2fs",
                      len(jobs), jobs[0][0], time.time() - t1)
         self._pending = {}
+
+    def _flush_matmul_group(self, key, jobs, t1):
+        ss = jobs[0][1]
+        hcw = self.cfg.matmul_head_channel_wise
+        common = dict(A_bits=ss.s_bits, B_bits=ss.a_bits,
+                      rounds=self.cfg.search_round, head_cw=hcw,
+                      **self._common())
+        if len(jobs) == 1:
+            self._search_matmul_now(*jobs[0])
+        elif key[0] == "matmul":
+            As = jnp.stack([j[2] for j in jobs])
+            Bs = jnp.stack([j[3] for j in jobs])
+            ys = jnp.stack([j[4] for j in jobs])
+            A_s, A_z, B_s, B_z = SRCH.search_matmul_batched(As, Bs, ys,
+                                                            **common)
+            for i, (name, ssi, _, _, _) in enumerate(jobs):
+                Aq = QuantizerState(scale=A_s[i], zero_point=A_z[i],
+                                    kind="uniform", bits=ssi.s_bits,
+                                    symmetric=False)
+                self._set_matmul_state(name, ssi, Aq, B_s[i], B_z[i])
+        else:
+            As = jnp.stack([j[2] for j in jobs])
+            Bs = jnp.stack([j[3] for j in jobs])
+            ys = jnp.stack([j[4] for j in jobs])
+            q, B_s, B_z = SRCH.search_matmul_postsoftmax_batched(
+                As, Bs, ys, a_kind=ss.post_quantizer, **common)
+            for i, (name, ssi, _, _, _) in enumerate(jobs):
+                self._set_matmul_state(name, ssi,
+                                       self._postsoftmax_aq(ssi, q[i]),
+                                       B_s[i], B_z[i])
+        log.info("searched %d x %-30s [batched] in %.2fs",
+                 len(jobs), jobs[0][0], time.time() - t1)
 
     def _do_postgelu(self, name, ss: SiteSpec, x, y):
         p = tree_get(self.params, ss.param_path)
@@ -294,6 +329,25 @@ class QuantCalibrator:
         self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
 
     def _do_matmul(self, name, ss: SiteSpec, A, B, y):
+        if getattr(self.cfg, "batch_sites", True) and self.mesh is None:
+            key = (ss.kind, A.shape, B.shape, ss.s_bits, ss.a_bits,
+                   ss.post_quantizer)
+            self._pending.setdefault(key, []).append((name, ss, A, B, y))
+            return
+        self._search_matmul_now(name, ss, A, B, y)
+
+    def _set_matmul_state(self, name, ss, Aq, B_s, B_z):
+        Bq = QuantizerState(scale=B_s, zero_point=B_z, kind="uniform",
+                            bits=ss.a_bits, symmetric=False)
+        self.qstate[name] = MatMulSite(Aq=Aq, Bq=Bq)
+
+    def _postsoftmax_aq(self, ss, q):
+        return QuantizerState(
+            scale=jnp.ones((1, 1, 1, 1), jnp.float32),
+            log_q=q if ss.post_quantizer == "adalog" else None,
+            kind=ss.post_quantizer, bits=ss.s_bits)
+
+    def _search_matmul_now(self, name, ss, A, B, y):
         A, B, y = (self._shard_tokens(A), self._shard_tokens(B),
                    self._shard_tokens(y))
         hcw = self.cfg.matmul_head_channel_wise

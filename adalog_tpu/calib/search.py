@@ -380,11 +380,9 @@ def _mm_expand(s2d, z2d, H, head_cw):
     return (s2d.reshape(-1, 1, U, 1, 1), z2d.reshape(-1, 1, U, 1, 1))
 
 
-@partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
-                                   "rounds", "use_fpcs", "head_cw"))
-def search_matmul(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
-                  rounds: int, use_fpcs: bool, head_cw: bool):
-    """q@kT matmul search (matmul.py:264-283).
+def _matmul_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
+                 rounds: int, use_fpcs: bool, head_cw: bool):
+    """q@kT matmul search (matmul.py:264-283), untraced body.
 
     A: (N, H, S, C); B: (N, H, C, S2); y: (N, H, S, S2) raw product.
     Init both operands at the second-to-last percentile candidate, then
@@ -425,11 +423,33 @@ def search_matmul(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
 
 
 @partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
-                                   "rounds", "use_fpcs", "head_cw", "a_kind"))
-def search_matmul_postsoftmax(A, B, y, *, A_bits: int, B_bits: int, eq_n: int,
-                              steps: int, rounds: int, use_fpcs: bool,
-                              head_cw: bool, a_kind: str):
-    """softmax@v matmul search (matmul.py:360-378).
+                                   "rounds", "use_fpcs", "head_cw"))
+def search_matmul(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
+                  rounds: int, use_fpcs: bool, head_cw: bool):
+    return _matmul_impl(A, B, y, A_bits=A_bits, B_bits=B_bits, eq_n=eq_n,
+                        steps=steps, rounds=rounds, use_fpcs=use_fpcs,
+                        head_cw=head_cw)
+
+
+@partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "head_cw"))
+def search_matmul_batched(As, Bs, ys, *, A_bits: int, B_bits: int, eq_n: int,
+                          steps: int, rounds: int, use_fpcs: bool,
+                          head_cw: bool):
+    """Layer-batched q@kT search: all L same-shape attention matmul sites in
+    one vmapped program."""
+    def one(A, B, y):
+        return _matmul_impl(A, B, y, A_bits=A_bits, B_bits=B_bits, eq_n=eq_n,
+                            steps=steps, rounds=rounds, use_fpcs=use_fpcs,
+                            head_cw=head_cw)
+
+    return jax.vmap(one)(As, Bs, ys)
+
+
+def _matmul_postsoftmax_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int,
+                             steps: int, rounds: int, use_fpcs: bool,
+                             head_cw: bool, a_kind: str):
+    """softmax@v matmul search (matmul.py:360-378), untraced body.
 
     A (post-softmax) gets a log quantizer (``a_kind``) with scale frozen at
     1.0; for AdaLog the integer base q is argmax-searched each round,
@@ -476,6 +496,34 @@ def search_matmul_postsoftmax(A, B, y, *, A_bits: int, B_bits: int, eq_n: int,
         B_s, B_z = b_fpcs(A_q, B_s, B_z)
 
     return q, nat(B_s), nat(B_z)
+
+
+@partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "head_cw", "a_kind"))
+def search_matmul_postsoftmax(A, B, y, *, A_bits: int, B_bits: int, eq_n: int,
+                              steps: int, rounds: int, use_fpcs: bool,
+                              head_cw: bool, a_kind: str):
+    return _matmul_postsoftmax_impl(A, B, y, A_bits=A_bits, B_bits=B_bits,
+                                    eq_n=eq_n, steps=steps, rounds=rounds,
+                                    use_fpcs=use_fpcs, head_cw=head_cw,
+                                    a_kind=a_kind)
+
+
+@partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
+                                   "rounds", "use_fpcs", "head_cw", "a_kind"))
+def search_matmul_postsoftmax_batched(As, Bs, ys, *, A_bits: int, B_bits: int,
+                                      eq_n: int, steps: int, rounds: int,
+                                      use_fpcs: bool, head_cw: bool,
+                                      a_kind: str):
+    """Layer-batched softmax@v search: all L same-shape post-softmax sites in
+    one vmapped program."""
+    def one(A, B, y):
+        return _matmul_postsoftmax_impl(A, B, y, A_bits=A_bits, B_bits=B_bits,
+                                        eq_n=eq_n, steps=steps, rounds=rounds,
+                                        use_fpcs=use_fpcs, head_cw=head_cw,
+                                        a_kind=a_kind)
+
+    return jax.vmap(one)(As, Bs, ys)
 
 
 # ---------------------------------------------------------------------------
