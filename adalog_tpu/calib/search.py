@@ -381,7 +381,8 @@ def _mm_expand(s2d, z2d, H, head_cw):
 
 
 def _matmul_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
-                 rounds: int, use_fpcs: bool, head_cw: bool):
+                 rounds: int, use_fpcs: bool, head_cw: bool,
+                 mem_scale: int = 1):
     """q@kT matmul search (matmul.py:264-283), untraced body.
 
     A: (N, H, S, C); B: (N, H, C, S2); y: (N, H, S, S2) raw product.
@@ -407,13 +408,15 @@ def _matmul_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
         A_s, A_z = fpcs(
             lambda s, z: S.score_matmul_opA(
                 A, B_q, y, *_mm_expand(s, z, H, head_cw), A_bits,
-                head_channel_wise=head_cw).reshape(eq_n, U),
+                head_channel_wise=head_cw, mem_scale=mem_scale
+                ).reshape(eq_n, U),
             As0, Az0, eq_n=eq_n, steps=st)
         A_q = S.uq_asym(A, nat(A_s), nat(A_z), A_bits)
         B_s, B_z = fpcs(
             lambda s, z: S.score_matmul_opB(
                 A_q, B, y, *_mm_expand(s, z, H, head_cw), B_bits,
-                head_channel_wise=head_cw).reshape(eq_n, U),
+                head_channel_wise=head_cw, mem_scale=mem_scale
+                ).reshape(eq_n, U),
             Bs0, Bz0, eq_n=eq_n, steps=st)
         return (A_s, A_z, B_s, B_z), None
 
@@ -438,17 +441,19 @@ def search_matmul_batched(As, Bs, ys, *, A_bits: int, B_bits: int, eq_n: int,
                           head_cw: bool):
     """Layer-batched q@kT search: all L same-shape attention matmul sites in
     one vmapped program."""
+    L = As.shape[0]
+
     def one(A, B, y):
         return _matmul_impl(A, B, y, A_bits=A_bits, B_bits=B_bits, eq_n=eq_n,
                             steps=steps, rounds=rounds, use_fpcs=use_fpcs,
-                            head_cw=head_cw)
+                            head_cw=head_cw, mem_scale=L)
 
     return jax.vmap(one)(As, Bs, ys)
 
 
 def _matmul_postsoftmax_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int,
                              steps: int, rounds: int, use_fpcs: bool,
-                             head_cw: bool, a_kind: str):
+                             head_cw: bool, a_kind: str, mem_scale: int = 1):
     """softmax@v matmul search (matmul.py:360-378), untraced body.
 
     A (post-softmax) gets a log quantizer (``a_kind``) with scale frozen at
@@ -475,14 +480,16 @@ def _matmul_postsoftmax_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int,
         return fpcs(
             lambda s, z: S.score_matmul_opB(
                 A_q, B, y, *_mm_expand(s, z, H, head_cw), B_bits,
-                head_channel_wise=head_cw).reshape(eq_n, U),
+                head_channel_wise=head_cw, mem_scale=mem_scale
+                ).reshape(eq_n, U),
             Bs0, Bz0, eq_n=eq_n, steps=st)
 
     if search_base:
         def round_body(carry, _):
             q, B_s, B_z = carry
             B_q = S.uq_asym(B, nat(B_s), nat(B_z), B_bits)
-            sims = S.score_postsoftmax_base(A, B_q, y, q_grid, A_bits)
+            sims = S.score_postsoftmax_base(A, B_q, y, q_grid, A_bits,
+                                            mem_scale=mem_scale)
             q = q_grid[jnp.argmax(sims)]
             A_q = S.adalog_fq_search(A, 1.0, q, A_bits, clamp_upper=False)
             B_s, B_z = b_fpcs(A_q, B_s, B_z)
@@ -517,11 +524,13 @@ def search_matmul_postsoftmax_batched(As, Bs, ys, *, A_bits: int, B_bits: int,
                                       a_kind: str):
     """Layer-batched softmax@v search: all L same-shape post-softmax sites in
     one vmapped program."""
+    L = As.shape[0]
+
     def one(A, B, y):
         return _matmul_postsoftmax_impl(A, B, y, A_bits=A_bits, B_bits=B_bits,
                                         eq_n=eq_n, steps=steps, rounds=rounds,
                                         use_fpcs=use_fpcs, head_cw=head_cw,
-                                        a_kind=a_kind)
+                                        a_kind=a_kind, mem_scale=L)
 
     return jax.vmap(one)(As, Bs, ys)
 

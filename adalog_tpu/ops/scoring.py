@@ -279,7 +279,7 @@ def _matmul_sim(err2, head_channel_wise: bool):
 
 
 def score_matmul_opA(A, B_q, target, scales, zps, bits: int,
-                     head_channel_wise: bool):
+                     head_channel_wise: bool, mem_scale: int = 1):
     """Candidate-quantize A against raw A@B output (matmul.py:135-173).
 
     A: (N, H, S, C); B_q: (N, H, C, S2) already quantized; target: (N, H, S, S2).
@@ -293,11 +293,11 @@ def score_matmul_opA(A, B_q, target, scales, zps, bits: int,
         out = _mm(A_dq, B_q)
         return _matmul_sim(jnp.square(target - out), head_channel_wise)
 
-    return _map(one, (scales, zps), E, (target.size + A.size) * 4)
+    return _map(one, (scales, zps), E, (target.size + A.size) * 4 * mem_scale)
 
 
 def score_matmul_opB(A_q, B, target, scales, zps, bits: int,
-                     head_channel_wise: bool):
+                     head_channel_wise: bool, mem_scale: int = 1):
     """Candidate-quantize B against raw A@B output (matmul.py:175-209)."""
     E = scales.shape[0]
 
@@ -307,10 +307,11 @@ def score_matmul_opB(A_q, B, target, scales, zps, bits: int,
         out = _mm(A_q, B_dq)
         return _matmul_sim(jnp.square(target - out), head_channel_wise)
 
-    return _map(one, (scales, zps), E, (target.size + B.size) * 4)
+    return _map(one, (scales, zps), E, (target.size + B.size) * 4 * mem_scale)
 
 
-def score_postsoftmax_base(A, B_q, target, qs, bits: int):
+def score_postsoftmax_base(A, B_q, target, qs, bits: int,
+                           mem_scale: int = 1):
     """AdaLog log-base (q) scoring for the post-softmax operand, scale frozen
     at 1.0 (matmul.py:321-358). A in [0, 1]; qs: (E,) -> similarity (E,)."""
     E = qs.shape[0]
@@ -320,7 +321,7 @@ def score_postsoftmax_base(A, B_q, target, qs, bits: int):
         out = _mm(A_dq, B_q)
         return _matmul_sim(jnp.square(target - out), head_channel_wise=False)
 
-    return _map(one, qs, E, (target.size + A.size) * 4)
+    return _map(one, qs, E, (target.size + A.size) * 4 * mem_scale)
 
 
 # ---------------------------------------------------------------------------
