@@ -70,6 +70,9 @@ def get_args_parser():
     p.add_argument("--eval-dtype", default=None,
                    choices=[None, "float32", "bfloat16"])
     p.add_argument("--output-dir", default="./checkpoints/quant_result")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a device trace of calibration into the run "
+                        "dir (view with TensorBoard/Perfetto)")
     return p
 
 
@@ -186,7 +189,12 @@ def main(args):
             t0 = time.time()
             batches = loader.calib_batches(cfg.calib_size,
                                            cfg.calib_batch_size, args.seed)
-            params, qstate = calibrator.calibrate(batches)
+            if args.profile:
+                from adalog_tpu.utils.profiling import device_trace
+                with device_trace(os.path.join(run_dir, "trace")):
+                    params, qstate = calibrator.calibrate(batches)
+            else:
+                params, qstate = calibrator.calibrate(batches)
             if not args.optimize:
                 params, qstate = calibrator.finish_calibration()
             log.info("%s - calibration finished in %.1fs.",
