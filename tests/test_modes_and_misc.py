@@ -98,3 +98,23 @@ def test_zoo_specs_consistent():
         spec = model_spec(name)
         for i in range(len(spec.cfg.depths)):
             assert spec.cfg.stage_res(i) % min(7, spec.cfg.stage_res(i)) == 0
+
+
+def test_layout_site_counts_all_models():
+    """Every zoo model's quant layout enumerates the expected site count:
+    conv + head + 6 per transformer block + swin reductions."""
+    from adalog_tpu.calib.layout import quant_layout
+    from adalog_tpu.utils.config import Config as RunCfg
+    cfg = RunCfg(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    expect = {
+        "vit_tiny": 2 + 6 * 12, "vit_small": 2 + 6 * 12,
+        "vit_base": 2 + 6 * 12, "vit_large": 2 + 6 * 24,
+        "deit_tiny": 2 + 6 * 12,
+        "swin_tiny": 2 + 6 * 12 + 3, "swin_small": 2 + 6 * 24 + 3,
+        "swin_base": 2 + 6 * 24 + 3, "swin_base_384": 2 + 6 * 24 + 3,
+    }
+    for name, n in expect.items():
+        layout = quant_layout(model_spec(name), cfg)
+        assert len(layout) == n, (name, len(layout), n)
+        kinds = {s.kind for s in layout.values()}
+        assert {"conv", "matmul", "matmul_post", "postgelu"} <= kinds
