@@ -8,6 +8,8 @@ rectified-sigmoid "soft target" in [0, 1], afterwards the hard 0/1 decision
 
 import jax.numpy as jnp
 
+from adalog_tpu.quantizers.ste import tclip
+
 GAMMA, ZETA = -0.1, 1.1
 
 
@@ -23,8 +25,8 @@ def adaround_init_alpha(w, scale):
 
 def adaround_soft_targets(alpha):
     """clip(sigmoid(alpha)*(zeta-gamma)+gamma, 0, 1) (adaround.py:59-60)."""
-    return jnp.clip(jnp.reciprocal(1.0 + jnp.exp(-alpha)) * (ZETA - GAMMA) + GAMMA,
-                    0.0, 1.0)
+    return tclip(jnp.reciprocal(1.0 + jnp.exp(-alpha)) * (ZETA - GAMMA) + GAMMA,
+                 0.0, 1.0)
 
 
 def adaround_quant(w, scale, zero_point, alpha, *, bits: int, symmetric: bool,
@@ -41,9 +43,9 @@ def adaround_quant(w, scale, zero_point, alpha, *, bits: int, symmetric: bool,
     else:
         x_int = x_floor + (alpha >= 0).astype(w.dtype)
     if symmetric:
-        x_q = jnp.clip(x_int, -N, N - 1)
+        x_q = tclip(x_int, -N, N - 1)
         return x_q * scale
-    x_q = jnp.clip(x_int + zero_point, 0, 2 * N - 1)
+    x_q = tclip(x_int + zero_point, 0, 2 * N - 1)
     return (x_q - zero_point) * scale
 
 

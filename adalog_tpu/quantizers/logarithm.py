@@ -23,7 +23,7 @@ the reference-format LUT buffers for checkpoints.
 import numpy as np
 import jax.numpy as jnp
 
-from adalog_tpu.quantizers.ste import round_ste
+from adalog_tpu.quantizers.ste import round_ste, tclip
 
 ADALOG_R = 37.0
 _EPS = 1e-15
@@ -36,7 +36,7 @@ def _log_codes(x, scale, k, bits: int, training: bool):
     rnd = round_ste if training else jnp.round
     code = rnd(-jnp.log2(scaled) * k)
     keep = code < 2 * N  # codes beyond the last level dequantize to exactly 0
-    code = jnp.clip(code, 0, 2 * N - 1)
+    code = tclip(code, 0, 2 * N - 1)
     return code, keep
 
 

@@ -14,7 +14,7 @@ flow to x and scale (uniform.py:29, `round_ste` path), matching the reference's
 
 import jax.numpy as jnp
 
-from adalog_tpu.quantizers.ste import round_ste
+from adalog_tpu.quantizers.ste import round_ste, tclip
 
 
 def n_levels(bits: int) -> int:
@@ -34,10 +34,10 @@ def uniform_quant(x, scale, zero_point=None, *, bits: int, symmetric: bool,
     rnd = round_ste if training else jnp.round
     x_int = rnd(x / scale)
     if symmetric:
-        x_q = jnp.clip(x_int, -N, N - 1)
+        x_q = tclip(x_int, -N, N - 1)
         return x_q * scale
     zp = round_ste(zero_point)
-    x_q = jnp.clip(x_int + zp, 0, 2 * N - 1)
+    x_q = tclip(x_int + zp, 0, 2 * N - 1)
     return (x_q - zp) * scale
 
 
@@ -52,6 +52,6 @@ def twin_uniform_quant(x, scale_pos, scale_neg, *, bits: int,
         return x
     N = n_levels(bits)
     rnd = round_ste if training else jnp.round
-    x_pos = jnp.clip(rnd(x / scale_pos), 0, N - 1) * scale_pos
-    x_neg = jnp.clip(rnd(x / scale_neg), -N, 0) * scale_neg
+    x_pos = tclip(rnd(x / scale_pos), 0, N - 1) * scale_pos
+    x_neg = tclip(rnd(x / scale_neg), -N, 0) * scale_neg
     return x_pos + x_neg
