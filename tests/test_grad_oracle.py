@@ -72,3 +72,36 @@ def test_brecq_grads_match_torch(rng):
 
     np.testing.assert_allclose(np.asarray(ga), want_ga, rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(float(gs), want_gs, rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_adalog_training_grads_match_torch(rng):
+    """Shifted-AdaLog training forward (continuous 2^(-code*q/r), STE round):
+    gradients wrt scale match torch autograd."""
+    torch = pytest.importorskip("torch")
+    from adalog_tpu.quantizers.logarithm import adalog_quant
+    from adalog_tpu.quantizers.state import GELU_MIN
+
+    R, q = 37.0, 41.0
+    x_np = (np.abs(rng.standard_normal(64)) - GELU_MIN).astype(np.float32)
+    s0 = np.float32(1.3)
+
+    tx = torch.tensor(x_np)
+    ts = torch.tensor(s0, requires_grad=True)
+    scaled = torch.clamp((tx + GELU_MIN) / ts, min=1e-15, max=1.0)
+    raw_code = -torch.log2(scaled) * R / q
+    code = raw_code + (torch.round(raw_code) - raw_code).detach()
+    keep = (code < 2 * N).float().detach()
+    code = torch.clamp(code, 0, 2 * N - 1)
+    dq = (2 ** (-code * q / R)) * ts * keep - GELU_MIN
+    loss = (dq ** 2).sum()
+    loss.backward()
+    want = float(ts.grad)
+
+    def loss_fn(s):
+        out = adalog_quant(jnp.asarray(x_np) + GELU_MIN, s, jnp.float32(q),
+                           bits=BITS, training=True) - GELU_MIN
+        return jnp.sum(out ** 2)
+
+    got = float(jax.grad(loss_fn)(jnp.float32(s0)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
