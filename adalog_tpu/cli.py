@@ -70,6 +70,9 @@ def get_args_parser():
     p.add_argument("--eval-dtype", default=None,
                    choices=[None, "float32", "bfloat16"])
     p.add_argument("--output-dir", default="./checkpoints/quant_result")
+    p.add_argument("--crop-pct", type=float, default=None,
+                   help="override the model spec's eval crop percentage "
+                        "(timm resolve_data_config parity tuning)")
     p.add_argument("--profile", action="store_true",
                    help="capture a device trace of calibration into the run "
                         "dir (view with TensorBoard/Perfetto)")
@@ -142,6 +145,9 @@ def main(args):
                         "init (accuracy numbers will be meaningless)", default)
     spec, params = build_model(args.model, checkpoint_path=ckpt,
                                seed=args.seed)
+    if args.crop_pct is not None:
+        import dataclasses
+        spec = dataclasses.replace(spec, crop_pct=args.crop_pct)
     params_full = copy.deepcopy(params)   # pristine FP32 twin for BRECQ
 
     log.info("Building dataloaders ...")
