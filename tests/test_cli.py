@@ -94,3 +94,23 @@ def test_cli_calibrate_then_load_then_optimize(tmp_path, monkeypatch):
 def test_run_dir_creation(tmp_path):
     d = make_run_dir(str(tmp_path))
     assert os.path.isdir(d)
+
+
+@pytest.mark.slow
+def test_cli_swin_calibrate(tmp_path, monkeypatch):
+    tmp_path = str(tmp_path)
+    config = os.path.join(tmp_path, "tiny_cfg.py")
+    _write_tiny_config(config)
+    import adalog_tpu.data.imagenet as di
+    monkeypatch.setattr(
+        di.SyntheticLoader, "__init__",
+        lambda self, spec, val_batch_size=8, n_val=16, num_classes=1000,
+        seed=0: (setattr(self, "spec", spec),
+                 setattr(self, "val_batch_size", 8),
+                 setattr(self, "n_val", 8),
+                 setattr(self, "num_classes", 10),
+                 setattr(self, "seed", 0))[-1])
+    args = _args(tmp_path, config, calibrate=True)
+    args.model = "test_tiny_swin"
+    params, qstate = main(args)
+    assert "layers.1.downsample.reduction" in qstate
