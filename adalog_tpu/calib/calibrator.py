@@ -34,6 +34,7 @@ from adalog_tpu.quantizers.state import (
 )
 from adalog_tpu.calib.layout import quant_layout, tree_get, tree_set, SiteSpec
 from adalog_tpu.calib import search as SRCH
+from adalog_tpu.ops import scoring
 from adalog_tpu.calib.reparam import (
     layernorm_channel_reparam, rewrite_cached_input, fold_gelu_shift_into_bias,
 )
@@ -114,7 +115,7 @@ class QuantCalibrator:
         self.mesh = mesh
         self.resume_path = resume_path
         self._pending = {}
-        SRCH.S.set_score_dtype(cfg.search_dtype)
+        scoring.set_score_dtype(cfg.search_dtype)
 
     def _shard_tokens(self, x):
         if self.mesh is None:
