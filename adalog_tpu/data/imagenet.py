@@ -41,8 +41,8 @@ def scan_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
 
 
 def load_eval_image(path: str, img_size: int, crop_pct: float,
-                    mean, std) -> np.ndarray:
-    """timm eval transform: bicubic resize of the shorter side to
+                    mean, std, interpolation: str = "bicubic") -> np.ndarray:
+    """timm eval transform: resize of the shorter side to
     round(size/crop_pct), center crop, normalize. Returns (H, W, 3) float32."""
     scale_size = int(round(img_size / crop_pct))
     img = Image.open(path).convert("RGB")
@@ -51,7 +51,9 @@ def load_eval_image(path: str, img_size: int, crop_pct: float,
         nw, nh = scale_size, int(round(h * scale_size / w))
     else:
         nh, nw = scale_size, int(round(w * scale_size / h))
-    img = img.resize((nw, nh), Image.BICUBIC)
+    resample = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
+                "nearest": Image.NEAREST}[interpolation]
+    img = img.resize((nw, nh), resample)
     left = (nw - img_size) // 2
     top = (nh - img_size) // 2
     img = img.crop((left, top, left + img_size, top + img_size))
@@ -81,13 +83,15 @@ class ImageNetLoader:
 
     def _load(self, path: str) -> np.ndarray:
         s = self.spec
-        return load_eval_image(path, self.img_size, s.crop_pct, s.mean, s.std)
+        return load_eval_image(path, self.img_size, s.crop_pct, s.mean, s.std,
+                               getattr(s, "interpolation", "bicubic"))
 
     def _load_batch(self, paths) -> np.ndarray:
         """Native C++ decode pipeline when built (make -C native), PIL else."""
         from adalog_tpu.data import native_loader
         s = self.spec
-        if native_loader.available() and all(
+        if native_loader.available() and \
+                getattr(s, "interpolation", "bicubic") == "bicubic" and all(
                 p.lower().endswith((".jpg", ".jpeg")) for p in paths):
             out = native_loader.batch_load(
                 list(paths), self.img_size, s.crop_pct, s.mean, s.std,

@@ -110,3 +110,47 @@ def test_calibrated_beats_minmax_baseline(calibrated):
     err_q = np.linalg.norm(y_q - y_raw)
     err_b = np.linalg.norm(y_b - y_raw)
     assert err_q <= err_b * 1.15, (err_q, err_b)
+
+
+def test_resume_after_interruption(rng, tmp_path):
+    """Interrupted calibration resumes from the per-site checkpoint and
+    produces the same final state as an uninterrupted run."""
+    cfg = make_cfg(batch_sites=False)   # per-site saves need sequential flow
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    resume = str(tmp_path / "resume.pkl")
+
+    class Boom(Exception):
+        pass
+
+    calib = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    orig = calib._do_matmul
+    calls = {"n": 0}
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise Boom()
+        return orig(*a, **k)
+
+    calib._do_matmul = bomb
+    import pytest as _pytest
+    with _pytest.raises(Boom):
+        calib.calibrate(batches)
+    n_done = len(calib.qstate)
+    assert 0 < n_done < len(calib.layout)
+
+    # resume with a fresh calibrator; previously searched sites are skipped
+    calib2 = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    calib2.calibrate(batches)
+    p2, q2 = calib2.finish_calibration()
+    assert set(q2) == set(calib2.layout)
+
+    # equal to an uninterrupted run
+    calib3 = QuantCalibrator(TinySpec, params, cfg)
+    calib3.calibrate(batches)
+    p3, q3 = calib3.finish_calibration()
+    x = jnp.asarray(batches[0])
+    y2 = np.asarray(vit_forward(CFG, p2, x, q2, {"*": "quant"}))
+    y3 = np.asarray(vit_forward(CFG, p3, x, q3, {"*": "quant"}))
+    np.testing.assert_allclose(y2, y3, rtol=1e-5, atol=1e-6)
