@@ -118,3 +118,26 @@ def test_layout_site_counts_all_models():
         assert len(layout) == n, (name, len(layout), n)
         kinds = {s.kind for s in layout.values()}
         assert {"conv", "matmul", "matmul_post", "postgelu"} <= kinds
+
+
+def test_validate_metrics(rng):
+    """validate() top-1/top-5/loss against a manual computation."""
+    from adalog_tpu.utils.metrics import validate
+    B, C = 16, 12
+    logits = rng.standard_normal((B, C)).astype(np.float32)
+    labels = rng.integers(0, C, B).astype(np.int32)
+
+    def fwd(x):
+        return jnp.asarray(logits)
+
+    loader = [(np.zeros((B, 4, 4, 3), np.float32), labels)]
+    loss, top1, top5 = validate(iter(loader), fwd)
+
+    order = np.argsort(-logits, axis=1)
+    want1 = (order[:, 0] == labels).mean() * 100
+    want5 = np.any(order[:, :5] == labels[:, None], axis=1).mean() * 100
+    assert abs(top1 - want1) < 1e-6
+    assert abs(top5 - want5) < 1e-6
+    lse = np.log(np.exp(logits).sum(1))
+    want_loss = float(np.mean(lse - logits[np.arange(B), labels]))
+    assert abs(loss - want_loss) < 1e-4
