@@ -85,9 +85,20 @@ def _pad_to(x, m, axis):
     return jnp.pad(x, widths)
 
 
+VMEM_BUDGET = 12 * 1024 * 1024   # leave headroom under the ~16 MB/core VMEM
+
+
+def _pick_tiles(K: int, itemsize: int):
+    """Largest (tm, to) with double-buffered x/w/out tiles under the budget."""
+    for tm, to in ((256, 512), (256, 256), (128, 256), (128, 128), (64, 128)):
+        if 2 * (tm * K + K * to + tm * to) * itemsize <= VMEM_BUDGET:
+            return tm, to
+    return 32, 128
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "bits", "tm", "to"))
-def fq_gemm(x, w_t, params, *, kind: str, bits: int, tm: int = 256,
-            to: int = 512):
+def fq_gemm(x, w_t, params, *, kind: str, bits: int, tm: int = None,
+            to: int = None):
     """y = fake_quant(x) @ w_t with the quantize fused into the GEMM.
 
     x: (T, K); w_t: (K, O) pre-quantized weight (already transposed);
@@ -96,6 +107,9 @@ def fq_gemm(x, w_t, params, *, kind: str, bits: int, tm: int = 256,
     """
     T, K = x.shape
     O = w_t.shape[1]
+    if tm is None or to is None:
+        atm, ato = _pick_tiles(K, x.dtype.itemsize)
+        tm, to = tm or atm, to or ato
     compute_dtype = x.dtype
     xp = _pad_to(x, tm, 0)
     wp = _pad_to(w_t, to, 1)
