@@ -28,11 +28,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def tpu_preflight(timeout_s: int = 180, retries: int = 3) -> bool:
+def tpu_preflight(timeout_s: int = None, retries: int = 2) -> bool:
     """The tunneled TPU's PJRT client init can hang indefinitely if the pool
     holds a stale claim (e.g. a previous client died mid-RPC). Probe it in a
     subprocess with a hard timeout so this benchmark cannot wedge the driver.
     """
+    timeout_s = timeout_s or int(os.environ.get("ADALOG_PREFLIGHT_S", "150"))
     probe = ("import jax, jax.numpy as jnp, numpy as np;"
              "print(np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0])")
     for i in range(retries):
@@ -45,7 +46,7 @@ def tpu_preflight(timeout_s: int = 180, retries: int = 3) -> bool:
         except subprocess.TimeoutExpired:
             log(f"preflight attempt {i+1}: TPU client init timed out "
                 f"({timeout_s}s) — stale pool claim?")
-        time.sleep(30)
+        time.sleep(10)
     return False
 
 
