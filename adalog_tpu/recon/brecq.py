@@ -181,13 +181,21 @@ class BlockReconstructor:
     """Functional analog of reference BlockReconstructor (block_recon.py:17-157)."""
 
     def __init__(self, spec: ModelSpec, params, params_full, qstate, layout,
-                 cfg: Config):
+                 cfg: Config, mesh=None):
         self.spec = spec
         self.params = params
         self.params_full = params_full
         self.qstate = dict(qstate)
         self.layout = layout
         self.cfg = cfg
+        self.mesh = mesh  # optional: dp-shard the cached block I/O over it
+
+    def _put(self, a):
+        a = jnp.asarray(a)
+        if self.mesh is None or a.shape[0] % self.mesh.devices.size:
+            return a
+        from adalog_tpu.parallel.mesh import dp
+        return jax.device_put(a, dp(self.mesh, a.ndim))
 
     def _site_modes(self, unit: BlockUnit, quant_act: bool):
         """Per-site modes during training (block_recon.py:96-107): linear/conv
@@ -237,8 +245,8 @@ class BlockReconstructor:
             unit.forward, quant_act=quant_act, rec_kind=rec_kind,
             iters=cfg.recon_iters, batch=cfg.optim_batch_size,
             modes_key=tuple(sorted(modes.items())))
-        tr, recs = train(block_params, qstate_block, jnp.asarray(raw_in),
-                         jnp.asarray(raw_out), trainables,
+        tr, recs = train(block_params, qstate_block, self._put(raw_in),
+                         self._put(raw_out), trainables,
                          jax.random.PRNGKey(seed))
         return jax.device_get(tr), float(recs[0]), float(recs[-1])
 
@@ -266,8 +274,10 @@ class BlockReconstructor:
         qstates = stack([{cn: self.qstate[nm] for nm, cn in u.canon.items()
                           if nm in self.qstate} for u in units])
         tr0 = stack([self._init_trainables(u, quant_act) for u in units])
-        rins = jnp.stack([jnp.asarray(ios[u.name][0]) for u in units])
-        routs = jnp.stack([jnp.asarray(ios[u.name][1]) for u in units])
+        rins = self._put(np.stack([np.asarray(ios[u.name][0])
+                                   for u in units]))
+        routs = self._put(np.stack([np.asarray(ios[u.name][1])
+                                    for u in units]))
         keys = jnp.stack([jax.random.PRNGKey(seed)] * len(units))
 
         tr, recs = jax.vmap(train)(bparams, qstates, rins, routs, tr0, keys)
