@@ -23,6 +23,7 @@ captures from full_model with all quant blocks set raw).
 
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from typing import Dict, List
@@ -140,7 +141,7 @@ def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
          "a": optax.adam(optax.cosine_decay_schedule(A_LR, iters, 0.0))},
         param_labels={"w": "w", "a": "a"})
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(4,))
     def train(block_params, qstate_block, rin, rout, tr0, key_):
         n = rin.shape[0]
 
