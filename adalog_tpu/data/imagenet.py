@@ -61,6 +61,51 @@ def load_eval_image(path: str, img_size: int, crop_pct: float,
     return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
+def load_train_image(path: str, img_size: int, mean, std,
+                     rng: np.random.Generator,
+                     interpolation: str = "bicubic",
+                     color_jitter: float = 0.4) -> np.ndarray:
+    """timm training transform (what the reference's calibration set actually
+    uses: datasets.py:62-71 preloads train_set items, whose transform is
+    create_transform(is_training=True), datasets.py:126-127): random resized
+    crop (scale 0.08-1.0, ratio 3/4-4/3), horizontal flip p=0.5, color jitter
+    0.4. Bit-exact parity with the torch RNG stream is impossible across
+    frameworks; this reproduces the same augmentation distribution with a
+    seeded numpy Generator."""
+    from PIL import ImageEnhance
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target = area * rng.uniform(0.08, 1.0)
+        log_r = rng.uniform(np.log(3 / 4), np.log(4 / 3))
+        ar = np.exp(log_r)
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            left = int(rng.integers(0, w - cw + 1))
+            top = int(rng.integers(0, h - ch + 1))
+            img = img.crop((left, top, left + cw, top + ch))
+            break
+    else:  # fallback: center crop of the shorter side
+        side = min(w, h)
+        left, top = (w - side) // 2, (h - side) // 2
+        img = img.crop((left, top, left + side, top + side))
+    resample = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
+                "nearest": Image.NEAREST}[interpolation]
+    img = img.resize((img_size, img_size), resample)
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    if color_jitter:
+        for enh in (ImageEnhance.Brightness, ImageEnhance.Contrast,
+                    ImageEnhance.Color):
+            img = enh(img).enhance(
+                1.0 + float(rng.uniform(-color_jitter, color_jitter)))
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
 class ImageNetLoader:
     """Loader factory bound to one model's preprocessing spec."""
 
@@ -126,16 +171,30 @@ class ImageNetLoader:
             self._val = self._split("val")
         return self._batches(*self._val, self.val_batch_size)
 
-    def calib_batches(self, num: int, batch_size: int,
-                      seed: int = 3) -> List[np.ndarray]:
+    def calib_batches(self, num: int, batch_size: int, seed: int = 3,
+                      augment: bool = True) -> List[np.ndarray]:
         """Seeded permutation of the TRAIN set, preloaded in memory
-        (datasets.py:62-71 semantics, same np.random seeding)."""
+        (datasets.py:62-71 semantics, same np.random seeding).
+
+        augment=True applies the timm TRAINING transform, matching the
+        reference's in-memory calib set (its train_set carries
+        create_transform(is_training=True)); augment=False uses the
+        deterministic eval transform instead.
+        """
         if self._train is None:
             self._train = self._split("train")
         paths, labels = self._train
         np.random.seed(seed)
         inds = np.random.permutation(len(paths))[:num]
-        imgs = self._load_batch([paths[i] for i in inds])
+        if augment:
+            s = self.spec
+            arng = np.random.default_rng(seed)
+            imgs = np.stack([
+                load_train_image(paths[i], self.img_size, s.mean, s.std, arng,
+                                 getattr(s, "interpolation", "bicubic"))
+                for i in inds])
+        else:
+            imgs = self._load_batch([paths[i] for i in inds])
         return [imgs[st:st + batch_size]
                 for st in range(0, num, batch_size)]
 

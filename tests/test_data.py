@@ -103,3 +103,20 @@ def test_synthetic_loader():
     c1 = loader.calib_batches(8, 4, seed=1)
     c2 = loader.calib_batches(8, 4, seed=1)
     np.testing.assert_array_equal(c1[0], c2[0])
+
+
+def test_calib_augmented_transform(image_dir):
+    class Spec:
+        class cfg:
+            img_size = 48
+        crop_pct = 0.9
+        mean, std = MEAN, STD
+
+    loader = ImageNetLoader(image_dir, Spec, val_batch_size=4, num_workers=1)
+    aug = loader.calib_batches(num=4, batch_size=4, seed=3, augment=True)
+    det = loader.calib_batches(num=4, batch_size=4, seed=3, augment=False)
+    assert aug[0].shape == det[0].shape == (4, 48, 48, 3)
+    # augmentation changes pixels but is deterministic under the seed
+    assert not np.allclose(aug[0], det[0])
+    aug2 = loader.calib_batches(num=4, batch_size=4, seed=3, augment=True)
+    np.testing.assert_array_equal(aug[0], aug2[0])
