@@ -70,6 +70,10 @@ def get_args_parser():
     p.add_argument("--eval-dtype", default=None,
                    choices=[None, "float32", "bfloat16"])
     p.add_argument("--output-dir", default="./checkpoints/quant_result")
+    p.add_argument("--no-augment-calib", action="store_true",
+                   help="use the deterministic eval transform for the "
+                        "calibration set instead of the reference's "
+                        "training-transform distribution")
     p.add_argument("--crop-pct", type=float, default=None,
                    help="override the model spec's eval crop percentage "
                         "(timm resolve_data_config parity tuning)")
@@ -193,8 +197,11 @@ def main(args):
         else:
             log.info("%s - start calibration", datetime.now())
             t0 = time.time()
+            calib_kw = ({"augment": not args.no_augment_calib}
+                        if hasattr(loader, "_train") else {})
             batches = loader.calib_batches(cfg.calib_size,
-                                           cfg.calib_batch_size, args.seed)
+                                           cfg.calib_batch_size, args.seed,
+                                           **calib_kw)
             if args.profile:
                 from adalog_tpu.utils.profiling import device_trace
                 with device_trace(os.path.join(run_dir, "trace")):
@@ -214,6 +221,9 @@ def main(args):
                      args.print_freq)
 
     calib_loader_batches = None
+    if args.optimize and qstate is None:
+        raise SystemExit("--optimize requires a calibrated model: pass "
+                         "--calibrate or --load-calibrate-checkpoint")
     if args.optimize:
         log.info("%s - start block reconstruction", datetime.now())
         t0 = time.time()
