@@ -149,12 +149,14 @@ def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
             qs = _merge_trainables(qstate_block, tr, quant_act)
             pred = forward(block_params, qs, xb, modes, True, True)
             rec = _rec_loss(pred, yb, rec_kind)
-            b = _b_temperature(t, iters)
+            count = t + 1.0          # the reference counter is 1-based
+            b = _b_temperature(count, iters)
             rnd = 0.0
             for alpha in jax.tree_util.tree_leaves(tr["w"]):
                 s = adaround_soft_targets(alpha)
                 rnd = rnd + jnp.sum(1.0 - jnp.abs(2.0 * s - 1.0) ** b)
-            rnd = ROUND_WEIGHT * rnd * (t >= loss_start)
+            # round loss active once count >= warmup*iters (block_recon.py:201)
+            rnd = ROUND_WEIGHT * rnd * (count >= loss_start)
             return rec + rnd, rec
 
         def step(carry, t):
