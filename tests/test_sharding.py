@@ -69,3 +69,11 @@ def test_token_sharded_search_matches_single_device(rng):
 def test_graft_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_graft_entry_traces():
+    """entry() returns a jittable fn; abstract-evaluate it (no compile)."""
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == (8, 1000)
