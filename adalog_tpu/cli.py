@@ -248,8 +248,8 @@ def main(args):
     if args.optimize or args.test_optimize_checkpoint:
         log.info("Validating on calibration set after block reconstruction ...")
         f = eval_forward(params, qstate)
-        calib_iter = ((b, np.zeros(len(b), np.int32))
-                      for b in calib_loader_batches)
+        calib_iter = zip(calib_loader_batches,
+                         loader.calib_labels(cfg.optim_batch_size))
         validate(calib_iter, f, args.print_freq)
         log.info("Validating on test set after block reconstruction ...")
         validate(loader.val_loader(), f, args.print_freq)

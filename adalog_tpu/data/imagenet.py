@@ -195,8 +195,18 @@ class ImageNetLoader:
                 for i in inds])
         else:
             imgs = self._load_batch([paths[i] for i in inds])
+        self._last_calib_labels = np.asarray([labels[i] for i in inds],
+                                             np.int32)
         return [imgs[st:st + batch_size]
                 for st in range(0, num, batch_size)]
+
+    def calib_labels(self, batch_size: int):
+        """Labels matching the last calib_batches() call, batched the same way
+        (the reference validates on the calibration set after reconstruction,
+        test_quant.py:236-238)."""
+        lbl = self._last_calib_labels
+        return [lbl[st:st + batch_size]
+                for st in range(0, len(lbl), batch_size)]
 
 
 class SyntheticLoader:
@@ -225,4 +235,11 @@ class SyntheticLoader:
     def calib_batches(self, num: int, batch_size: int, seed: int = 3):
         rng = np.random.default_rng(seed)
         imgs = self._gen(rng, num)
+        self._last_calib_labels = rng.integers(
+            0, self.num_classes, num).astype(np.int32)
         return [imgs[st:st + batch_size] for st in range(0, num, batch_size)]
+
+    def calib_labels(self, batch_size: int):
+        lbl = self._last_calib_labels
+        return [lbl[st:st + batch_size]
+                for st in range(0, len(lbl), batch_size)]
