@@ -172,6 +172,9 @@ def main(args):
     if cfg.use_pallas:
         from adalog_tpu.ops import fq_gemm
         fq_gemm.set_enabled(True)
+    if cfg.eval_int8:
+        from adalog_tpu.ops import int8_linear
+        int8_linear.set_enabled(True)
 
     def eval_forward(p, qs):
         dtype = jnp.bfloat16 if cfg.eval_dtype == "bfloat16" else jnp.float32

@@ -117,6 +117,10 @@ def qlinear(p: LinearP, site: Optional[LinearSite], x, *, mode: str = "raw",
     fake-quant GEMM (ops/fq_gemm.py): weight dequantized once, activation
     quantize fused into the MXU matmul.
     """
+    if site is not None and mode == "quant" and not training:
+        from adalog_tpu.ops import int8_linear
+        if int8_linear.supports(site, mode):
+            return int8_linear.int8_qlinear(p, site, x)
     w = p.w
     if site is not None and mode in ("quant", "w_only"):
         w = quant_linear_weight(p, site, soft=soft, training=training)

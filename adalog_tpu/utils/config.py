@@ -47,6 +47,7 @@ class Config:
     recon_iters: int = 20000
     recon_block_group: int = 4      # same-shape blocks trained concurrently (vmap)
     use_pallas: bool = True     # use Pallas TPU kernels where available
+    eval_int8: bool = False     # true-int8 MXU GEMMs for uniform Linear sites
 
     @classmethod
     def from_object(cls, obj) -> "Config":

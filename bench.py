@@ -90,12 +90,14 @@ def main():
                        {"*": "quant"}).astype(jnp.float32)
         return f
 
-    from adalog_tpu.ops import fq_gemm
+    from adalog_tpu.ops import fq_gemm, int8_linear
     x = jnp.asarray(rng.standard_normal((128, 224, 224, 3)).astype(np.float32))
-    for name, dtype, pallas in [("fp32", jnp.float32, False),
-                                ("bf16", jnp.bfloat16, False),
-                                ("bf16+pallas", jnp.bfloat16, True)]:
+    for name, dtype, pallas, int8 in [("fp32", jnp.float32, False, False),
+                                      ("bf16", jnp.bfloat16, False, False),
+                                      ("bf16+pallas", jnp.bfloat16, True, False),
+                                      ("int8", jnp.float32, False, True)]:
         fq_gemm.set_enabled(pallas)
+        int8_linear.set_enabled(int8)
         f = make_eval(dtype)
         try:
             _ = np.asarray(f(x)[:1])         # compile + sync
@@ -110,6 +112,7 @@ def main():
             log(f"quant eval ({name}) failed: {type(e).__name__}: {e}")
         finally:
             fq_gemm.set_enabled(False)
+            int8_linear.set_enabled(False)
 
     result = {
         "metric": f"{model}_w4a4_fpcs_calibration_wallclock",
