@@ -117,14 +117,22 @@ class QuantCalibrator:
         self._pending = {}
         scoring.set_score_dtype(cfg.search_dtype)
 
-    def _shard_tokens(self, x):
+    def _shard_tokens(self, x, dim: int = 0):
         if self.mesh is None:
             return x
-        from adalog_tpu.parallel.mesh import dp
+        from adalog_tpu.parallel.mesh import shard_axis
         n = self.mesh.devices.size
-        if x.shape[0] % n:
+        if x.shape[dim] % n:
+            # exact semantics are preserved either way; zero-padding would
+            # corrupt the percentile candidate grids, so replicate instead —
+            # loudly (calib token counts are calib_size*tokens and divide the
+            # mesh for every shipped config; this is the odd-size escape hatch)
+            log.warning(
+                "mesh: dim %d of %s not divisible by %d devices; keeping the "
+                "array replicated for this search", dim, x.shape, n)
             return x
-        return jax.device_put(x, dp(self.mesh, x.ndim))
+        return jax.device_put(jnp.asarray(x),
+                              shard_axis(self.mesh, x.ndim, dim))
 
     def _resume_load(self):
         if not self.resume_path:
@@ -177,12 +185,12 @@ class QuantCalibrator:
 
     def _do_linear(self, name, ss: SiteSpec, x, y):
         p = tree_get(self.params, ss.param_path)
-        x2, y2 = self._shard_tokens(_flat2d(x)), self._shard_tokens(_flat2d(y))
+        x2, y2 = _flat2d(x), _flat2d(y)
 
         if ss.kind == "linear_reparam":
             # stage 1: channel-wise activation self-search (linear.py:585-594)
             a_s, a_z = SRCH.search_act_channelwise(
-                x2, a_bits=ss.a_bits, **self._common())
+                self._shard_tokens(x2), a_bits=ss.a_bits, **self._common())
             # stage 2: fold ranges into the preceding LayerNorm (linear.py:614-621)
             norm = tree_get(self.params, ss.norm_path)
             new_norm, new_lin, r, b, _, _ = layernorm_channel_reparam(
@@ -192,11 +200,12 @@ class QuantCalibrator:
             p = new_lin
             x2 = rewrite_cached_input(x2, r, b)
 
-        if getattr(self.cfg, "batch_sites", True) and p.b is not None \
-                and self.mesh is None:
+        if getattr(self.cfg, "batch_sites", True) and p.b is not None:
             # defer: same-shape sites are searched together in one vmapped
-            # program (layer-batched calibration). In capture-spill mode the
-            # stash stays on host so deferral cannot blow device memory.
+            # program (layer-batched calibration); any mesh sharding is
+            # applied to the stacked group at flush time. In capture-spill
+            # mode the stash stays on host so deferral cannot blow device
+            # memory.
             if isinstance(y, np.ndarray) and not isinstance(x2, np.ndarray):
                 x2 = np.asarray(x2)
             key = ("linear", x2.shape, p.w.shape, ss.w_bits, ss.a_bits,
@@ -204,6 +213,7 @@ class QuantCalibrator:
             self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
             return
 
+        x2, y2 = self._shard_tokens(x2), self._shard_tokens(y2)
         w_s, w_z, a_s, a_z = SRCH.search_linear_default(
             x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
             rounds=self.cfg.search_round, gram=self.cfg.w_search_gram,
@@ -231,6 +241,7 @@ class QuantCalibrator:
             shift = jnp.float32(GELU_MIN)
             if len(jobs) == 1:
                 name, ss, x2, y2, p = jobs[0]
+                x2, y2 = self._shard_tokens(x2), self._shard_tokens(y2)
                 if postgelu:
                     res = SRCH.search_linear_postgelu_adalog(
                         x2, y2, p.w, p.b, shift, **common)
@@ -240,8 +251,9 @@ class QuantCalibrator:
                                                      **common)
                     self._set_linear_state(name, ss, *res)
             else:
-                xs = jnp.stack([j[2] for j in jobs])
-                ys = jnp.stack([j[3] for j in jobs])
+                # sites vmap over axis 0; the token axis (1) is dp-sharded
+                xs = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
+                ys = self._shard_tokens(jnp.stack([j[3] for j in jobs]), dim=1)
                 ws = jnp.stack([j[4].w for j in jobs])
                 bs = jnp.stack([j[4].b for j in jobs])
                 if postgelu:
@@ -270,9 +282,9 @@ class QuantCalibrator:
         if len(jobs) == 1:
             self._search_matmul_now(*jobs[0])
         elif key[0] == "matmul":
-            As = jnp.stack([j[2] for j in jobs])
-            Bs = jnp.stack([j[3] for j in jobs])
-            ys = jnp.stack([j[4] for j in jobs])
+            As = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
+            Bs = self._shard_tokens(jnp.stack([j[3] for j in jobs]), dim=1)
+            ys = self._shard_tokens(jnp.stack([j[4] for j in jobs]), dim=1)
             A_s, A_z, B_s, B_z = SRCH.search_matmul_batched(As, Bs, ys,
                                                             **common)
             for i, (name, ssi, _, _, _) in enumerate(jobs):
@@ -281,9 +293,9 @@ class QuantCalibrator:
                                     symmetric=False)
                 self._set_matmul_state(name, ssi, Aq, B_s[i], B_z[i])
         else:
-            As = jnp.stack([j[2] for j in jobs])
-            Bs = jnp.stack([j[3] for j in jobs])
-            ys = jnp.stack([j[4] for j in jobs])
+            As = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
+            Bs = self._shard_tokens(jnp.stack([j[3] for j in jobs]), dim=1)
+            ys = self._shard_tokens(jnp.stack([j[4] for j in jobs]), dim=1)
             q, B_s, B_z = SRCH.search_matmul_postsoftmax_batched(
                 As, Bs, ys, a_kind=ss.post_quantizer, **common)
             for i, (name, ssi, _, _, _) in enumerate(jobs):
@@ -295,22 +307,23 @@ class QuantCalibrator:
 
     def _do_postgelu(self, name, ss: SiteSpec, x, y):
         p = tree_get(self.params, ss.param_path)
-        x2, y2 = self._shard_tokens(_flat2d(x)), self._shard_tokens(_flat2d(y))
+        x2, y2 = _flat2d(x), _flat2d(y)
         if ss.kind == "postgelu_twin":
+            x2, y2 = self._shard_tokens(x2), self._shard_tokens(y2)
             w_s, w_z, s_pos, s_neg = SRCH.search_linear_postgelu_twin(
                 x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits,
                 n_V=ss.n_V, rounds=self.cfg.search_round, **self._common())
             aq = QuantizerState(scale=jnp.stack([s_pos, s_neg]),
                                 kind="twin", bits=ss.a_bits)
         else:
-            if getattr(self.cfg, "batch_sites", True) and p.b is not None \
-                    and self.mesh is None:
+            if getattr(self.cfg, "batch_sites", True) and p.b is not None:
                 if isinstance(y, np.ndarray) and not isinstance(x2, np.ndarray):
                     x2 = np.asarray(x2)
                 key = ("postgelu", x2.shape, p.w.shape, ss.w_bits, ss.a_bits,
                        ss.n_V)
                 self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
                 return
+            x2, y2 = self._shard_tokens(x2), self._shard_tokens(y2)
             shift = jnp.float32(GELU_MIN)
             w_s, w_z, a_s, q = SRCH.search_linear_postgelu_adalog(
                 x2, y2, p.w, p.b, shift, w_bits=ss.w_bits, a_bits=ss.a_bits,
@@ -330,7 +343,7 @@ class QuantCalibrator:
         self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
 
     def _do_matmul(self, name, ss: SiteSpec, A, B, y):
-        if getattr(self.cfg, "batch_sites", True) and self.mesh is None:
+        if getattr(self.cfg, "batch_sites", True):
             key = (ss.kind, A.shape, B.shape, ss.s_bits, ss.a_bits,
                    ss.post_quantizer)
             self._pending.setdefault(key, []).append((name, ss, A, B, y))

@@ -80,6 +80,10 @@ def get_args_parser():
     p.add_argument("--profile", action="store_true",
                    help="capture a device trace of calibration into the run "
                         "dir (view with TensorBoard/Perfetto)")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="shard calibration scoring, BRECQ and eval over the "
+                        "first N local devices (jax.sharding Mesh over ICI); "
+                        "0 = single-device, -1 = all local devices")
     return p
 
 
@@ -169,6 +173,18 @@ def main(args):
     qstate = None
     fwd = model_forward_fn(spec)
 
+    mesh = None
+    mesh_n = getattr(args, "mesh_devices", 0)
+    if mesh_n:
+        from adalog_tpu.parallel.mesh import make_mesh
+        n_local = len(jax.devices())
+        n = n_local if mesh_n == -1 else mesh_n
+        if n > n_local:
+            raise SystemExit(f"--mesh-devices {n} > {n_local} local devices")
+        if n > 1:
+            mesh = make_mesh(n)
+            log.info("data-parallel mesh over %d devices: %s", n, mesh)
+
     if cfg.use_pallas:
         from adalog_tpu.ops import fq_gemm
         fq_gemm.set_enabled(True)
@@ -184,15 +200,38 @@ def main(args):
             x = x.astype(dtype)
             pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), p)
             return fwd(spec.cfg, pp, x, qs, {"*": "quant"}).astype(jnp.float32)
-        return f
 
-    calibrator = QuantCalibrator(spec, params, cfg, reparam=reparam)
+        if mesh is None:
+            return f
+        from adalog_tpu.parallel.mesh import shard_batch
+
+        def f_dp(x):
+            x = jnp.asarray(x)
+            if x.shape[0] % mesh.devices.size == 0:
+                x = shard_batch(x, mesh)
+            return f(x)
+        return f_dp
+
+    def load_any_checkpoint(path):
+        """Route by format: the reference's torch.save(state_dict) .pth/.bin
+        (test_quant.py:109-127 semantics) or our native .ckpt."""
+        if path.endswith((".pth", ".pt", ".bin")):
+            from adalog_tpu.utils.ref_checkpoint import \
+                load_reference_checkpoint
+            log.info("loading reference-format (torch state_dict) checkpoint")
+            p2, qs = load_reference_checkpoint(spec, cfg, path, params)
+            return p2, qs, {}
+        return load_checkpoint(path)
+
+    calibrator = QuantCalibrator(spec, params, cfg, reparam=reparam,
+                                 mesh=mesh)
 
     if not args.load_optimize_checkpoint:
         if args.load_calibrate_checkpoint:
             log.info("Restoring checkpoint from '%s'",
                      args.load_calibrate_checkpoint)
-            params, qstate, _ = load_checkpoint(args.load_calibrate_checkpoint)
+            params, qstate, _ = load_any_checkpoint(
+                args.load_calibrate_checkpoint)
             calibrator.params, calibrator.qstate = params, dict(qstate)
             if args.test_calibrate_checkpoint:
                 validate(loader.val_loader(), eval_forward(params, qstate),
@@ -233,7 +272,8 @@ def main(args):
         calib_loader_batches = loader.calib_batches(
             cfg.optim_size, cfg.optim_batch_size, args.seed)
         recon = BlockReconstructor(spec, params, params_full, qstate,
-                                   quant_layout(spec, cfg, reparam), cfg)
+                                   quant_layout(spec, cfg, reparam), cfg,
+                                   mesh=mesh)
         params, qstate = recon.reconstruct(calib_loader_batches,
                                           quant_act=cfg.train_act)
         calibrator.params, calibrator.qstate = params, dict(qstate)
@@ -245,7 +285,7 @@ def main(args):
                                                   "optimize")),
             params, qstate)
     if args.load_optimize_checkpoint:
-        params, qstate, _ = load_checkpoint(args.load_optimize_checkpoint)
+        params, qstate, _ = load_any_checkpoint(args.load_optimize_checkpoint)
         calib_loader_batches = loader.calib_batches(
             cfg.optim_size, cfg.optim_batch_size, args.seed)
     if args.optimize or args.test_optimize_checkpoint:

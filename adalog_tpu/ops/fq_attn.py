@@ -46,13 +46,14 @@ def _adalog_unit(x, q, bits):
 
 def _kernel(ap_ref, bp_ref, a_ref, b_ref, out_ref, *, a_kind: str,
             a_bits: int, b_bits: int, compute_dtype):
+    g = pl.program_id(0)
     a = a_ref[0].astype(jnp.float32)
     b = b_ref[0].astype(jnp.float32)
     if a_kind == "adalog":
-        a_q = _adalog_unit(a, ap_ref[0, 0], a_bits)
+        a_q = _adalog_unit(a, ap_ref[g, 0], a_bits)
     else:
-        a_q = _uq(a, ap_ref[0, 0], ap_ref[0, 1], a_bits)
-    b_q = _uq(b, bp_ref[0, 0], bp_ref[0, 1], b_bits)
+        a_q = _uq(a, ap_ref[g, 0], ap_ref[g, 1], a_bits)
+    b_q = _uq(b, bp_ref[g, 0], bp_ref[g, 1], b_bits)
     out_ref[0] = jax.lax.dot(
         a_q.astype(compute_dtype), b_q.astype(compute_dtype),
         precision=(None if compute_dtype == jnp.bfloat16
@@ -79,8 +80,10 @@ def fq_attn_matmul(A, B, a_params, b_params, *, a_kind: str, a_bits: int,
                           b_bits=b_bits, compute_dtype=compute_dtype),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda g: (g, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda g: (g, 0), memory_space=pltpu.SMEM),
+            # whole (G, 2) scalar tables live in SMEM (blocked SMEM specs are
+            # rejected by the TPU lowering); the kernel indexes by program_id
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, S, K), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, C), lambda g: (g, 0, 0),

@@ -38,6 +38,17 @@ def dp(mesh: Mesh, ndim: int, axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 
+def shard_axis(mesh: Mesh, ndim: int, dim: int, axis: str = "dp"
+               ) -> NamedSharding:
+    """Shard one array dimension over the mesh, replicate the rest.
+
+    Used by layer-batched calibration: stacked site groups are (L, T, ...)
+    with L vmapped sites, so the token/batch axis to shard is dim=1."""
+    spec = [None] * ndim
+    spec[dim] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -69,10 +69,20 @@ def main():
     rng = np.random.default_rng(0)
     batches = [rng.standard_normal((32, 224, 224, 3)).astype(np.float32)]
 
+    # optional data-parallel mesh (ADALOG_MESH_DEVICES=N; N>1 shards the
+    # calibration token axis over the first N local devices) — the same code
+    # path the CLI's --mesh-devices flag drives
+    mesh = None
+    mesh_n = int(os.environ.get("ADALOG_MESH_DEVICES", "0"))
+    if mesh_n > 1:
+        from adalog_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(min(mesh_n, len(jax.devices())))
+        log(f"mesh: {mesh}")
+
     # --- headline: calibration wall-clock (includes compile; compiles are
     # cached across layers of the same shape) ---
     t0 = time.time()
-    calib = QuantCalibrator(spec, params, cfg)
+    calib = QuantCalibrator(spec, params, cfg, mesh=mesh)
     new_params, qstate = calib.calibrate(batches)
     new_params, qstate = calib.finish_calibration()
     jax.block_until_ready(jax.tree_util.tree_leaves(qstate)[0])

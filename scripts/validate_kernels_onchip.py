@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""On-chip validation of the Pallas kernels vs the XLA path (max abs diff).
+
+Run on the real TPU after any kernel edit; record the numbers in the round
+notes (VERDICT round-1 item 10). CPU CI covers the same comparisons in
+interpret mode (tests/test_fq_gemm.py, tests/test_fq_attn.py); this script is
+the hardware half of that contract: Mosaic lowering, real MXU/VPU numerics,
+real tiling.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from adalog_tpu.utils.cache import enable_compilation_cache
+from adalog_tpu.ops import fq_gemm, fq_attn
+from adalog_tpu.quantizers.logarithm import ADALOG_R
+
+
+def uq(x, s, z, bits):
+    N = 2 ** (bits - 1)
+    zr = jnp.round(z)
+    return (jnp.clip(jnp.round(x / s) + zr, 0, 2 * N - 1) - zr) * s
+
+
+def adalog(x, q, bits, scale=1.0, shift=0.0):
+    N = 2 ** (bits - 1)
+    scaled = jnp.clip((x + shift) / scale, 1e-15, 1.0)
+    code = jnp.round(-jnp.log2(scaled) * ADALOG_R / q)
+    keep = (code < 2 * N).astype(jnp.float32)
+    code = jnp.clip(code, 0.0, 2 * N - 1)
+    prod = code * q
+    ts = 1.0 / (4 * N - 2)
+    mant = jnp.round(jnp.exp2(-jnp.remainder(prod, ADALOG_R) / ADALOG_R) / ts) * ts
+    return jnp.exp2(-jnp.floor(prod / ADALOG_R)) * mant * keep * scale
+
+
+def main():
+    enable_compilation_cache()
+    assert jax.default_backend() == "tpu", jax.devices()
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # ---- fq_gemm ----
+    T, K, O = 200, 384, 1152   # deliberately tm/to-unaligned in T
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.float32)
+    w_t = jnp.asarray(rng.standard_normal((K, O)) * 0.05, jnp.float32)
+    BITS = 4
+
+    # uniform fp32
+    params = jnp.asarray([0.21, 7.0, 0.0, 0.0], jnp.float32)
+    got = fq_gemm.fq_gemm(x, w_t, params, kind="uniform", bits=BITS)
+    want = jnp.dot(uq(x, params[0], params[1], BITS), w_t,
+                   precision=jax.lax.Precision.HIGHEST)
+    results["fq_gemm uniform fp32"] = float(jnp.max(jnp.abs(got - want)))
+
+    # uniform bf16
+    xb, wb = x.astype(jnp.bfloat16), w_t.astype(jnp.bfloat16)
+    got = fq_gemm.fq_gemm(xb, wb, params, kind="uniform", bits=BITS)
+    want = jnp.dot(uq(xb.astype(jnp.float32), params[0], params[1], BITS
+                      ).astype(jnp.bfloat16), wb,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    results["fq_gemm uniform bf16"] = float(
+        jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
+
+    # adalog_shift fp32 (post-GeLU fc2 inference form)
+    xg = jnp.asarray(np.abs(rng.standard_normal((T, K))) * 0.4 - 0.17,
+                     jnp.float32)
+    params = jnp.asarray([0.8, 0.0, 0.16997124254703522, 31.0], jnp.float32)
+    got = fq_gemm.fq_gemm(xg, w_t, params, kind="adalog_shift", bits=BITS)
+    want = jnp.dot(adalog(xg, params[3], BITS, scale=params[0],
+                          shift=params[2]), w_t,
+                   precision=jax.lax.Precision.HIGHEST)
+    results["fq_gemm adalog_shift fp32"] = float(jnp.max(jnp.abs(got - want)))
+
+    # ---- fq_attn ----
+    G, S, D = 24, 197, 64      # deit_small-ish attention shape (unaligned S)
+    logits = jnp.asarray(rng.standard_normal((G, S, S)) * 2, jnp.float32)
+    A = jax.nn.softmax(logits, axis=-1)
+    B = jnp.asarray(rng.standard_normal((G, S, D)), jnp.float32)
+    ap = jnp.tile(jnp.asarray([[29.0, 0.0]], jnp.float32), (G, 1))
+    bp = jnp.tile(jnp.asarray([[0.11, 9.0]], jnp.float32), (G, 1))
+
+    got = fq_attn.fq_attn_matmul(A, B, ap, bp, a_kind="adalog", a_bits=BITS,
+                                 b_bits=BITS)
+    want = jnp.matmul(adalog(A, 29.0, BITS), uq(B, 0.11, 9.0, BITS),
+                      precision=jax.lax.Precision.HIGHEST)
+    results["fq_attn adalog fp32"] = float(jnp.max(jnp.abs(got - want)))
+
+    # uniform q@kT site
+    Q = jnp.asarray(rng.standard_normal((G, S, D)), jnp.float32)
+    Kt = jnp.asarray(rng.standard_normal((G, D, S)), jnp.float32)
+    aps = jnp.tile(jnp.asarray([[0.15, 8.0]], jnp.float32), (G, 1))
+    got = fq_attn.fq_attn_matmul(Q, Kt, aps, bp, a_kind="uniform",
+                                 a_bits=BITS, b_bits=BITS)
+    want = jnp.matmul(uq(Q, 0.15, 8.0, BITS), uq(Kt, 0.11, 9.0, BITS),
+                      precision=jax.lax.Precision.HIGHEST)
+    results["fq_attn uniform fp32"] = float(jnp.max(jnp.abs(got - want)))
+
+    # bf16 attention path (bench eval uses bf16+pallas); the kernel sees the
+    # bf16-rounded operands, so the XLA reference must quantize those too
+    Ab, Bb = A.astype(jnp.bfloat16), B.astype(jnp.bfloat16)
+    got = fq_attn.fq_attn_matmul(Ab, Bb, ap, bp, a_kind="adalog",
+                                 a_bits=BITS, b_bits=BITS)
+    want = jnp.matmul(
+        adalog(Ab.astype(jnp.float32), 29.0, BITS).astype(jnp.bfloat16),
+        uq(Bb.astype(jnp.float32), 0.11, 9.0, BITS).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    results["fq_attn adalog bf16"] = float(jnp.max(jnp.abs(got - want)))
+
+    ok = True
+    for name, diff in results.items():
+        tol = 0.05 if "bf16" in name else 2e-4
+        status = "OK" if diff <= tol else "FAIL"
+        ok &= diff <= tol
+        print(f"{name}: max|diff| = {diff:.3e}  [{status}]")
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -47,3 +47,54 @@ def test_checkpoint_naming():
         "deit_small_w4_a4_s4_calibsize_32.ckpt"
     assert checkpoint_name("deit_small", cfg, "optimize") == \
         "deit_small_w4_a4_s4_optimsize_1024.ckpt"
+
+
+def test_v2_format_is_npz_no_pickle(tmp_path, rng):
+    """The v2 file is a plain npz: loadable with allow_pickle=False and
+    carrying a JSON schema — no pickled code objects anywhere."""
+    import zipfile
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    path = os.path.join(tmp_path, "ck.ckpt")
+    save_checkpoint(path, params, qstate)
+    assert zipfile.is_zipfile(path)
+    with np.load(path, allow_pickle=False) as z:
+        assert "__schema__" in z.files
+
+
+def test_legacy_pickle_still_loads(tmp_path, rng):
+    """Round-1 checkpoints were raw pickles of the same pytrees; they must
+    keep loading (through the restricted unpickler)."""
+    import pickle
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    host = jax.tree_util.tree_map(np.asarray, {"params": params,
+                                               "qstate": qstate})
+    path = os.path.join(tmp_path, "legacy.ckpt")
+    with open(path, "wb") as f:
+        pickle.dump({"version": 1, "params": host["params"],
+                     "qstate": host["qstate"], "meta": {}}, f)
+    p2, q2, _ = load_checkpoint(path)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    y0 = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+    y1 = np.asarray(vit_forward(CFG, p2, x, q2, {"*": "quant"}))
+    np.testing.assert_array_equal(y0, y1)
+
+
+def test_poisoned_pickle_rejected(tmp_path):
+    """A pickle that resolves anything outside numpy/adalog_tpu must raise,
+    not execute (the arbitrary-code-execution vector in stock pickle)."""
+    import pickle
+    import pytest
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("echo pwned",))
+
+    path = os.path.join(tmp_path, "evil.ckpt")
+    with open(path, "wb") as f:
+        pickle.dump({"params": Evil(), "qstate": {}, "meta": {}}, f)
+    with pytest.raises(pickle.UnpicklingError, match="forbidden global"):
+        load_checkpoint(path)
