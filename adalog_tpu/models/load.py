@@ -55,8 +55,15 @@ def load_vit(cfg: ViTConfig, sd: dict) -> ViTParams:
         p = f"blocks.{i}"
         blocks.append(BlockP(
             norm1=_ln(sd, f"{p}.norm1", eps=1e-6),
-            attn=AttentionP(qkv=_lin(sd, f"{p}.attn.qkv"),
-                            proj=_lin(sd, f"{p}.attn.proj")),
+            attn=AttentionP(
+                qkv=_lin(sd, f"{p}.attn.qkv"),
+                proj=_lin(sd, f"{p}.attn.proj"),
+                # timm q_norm/k_norm slots (Identity in zoo checkpoints, so
+                # absent from their state dicts; wrap_net.py:24)
+                q_norm=(_ln(sd, f"{p}.attn.q_norm", eps=1e-6)
+                        if f"{p}.attn.q_norm.weight" in sd else None),
+                k_norm=(_ln(sd, f"{p}.attn.k_norm", eps=1e-6)
+                        if f"{p}.attn.k_norm.weight" in sd else None)),
             norm2=_ln(sd, f"{p}.norm2", eps=1e-6),
             mlp=MlpP(fc1=_lin(sd, f"{p}.mlp.fc1"),
                      fc2=_lin(sd, f"{p}.mlp.fc2")),

@@ -53,6 +53,11 @@ class ViTConfig:
 class AttentionP:
     qkv: LinearP
     proj: LinearP
+    # timm >=0.9 Attention carries q_norm/k_norm slots (Identity for every
+    # zoo model; wrap_net.py:24 applies them in the patched forward). None
+    # means identity; LayerNormP when a checkpoint carries real affines.
+    q_norm: Optional[LayerNormP] = None
+    k_norm: Optional[LayerNormP] = None
 
 
 @struct.dataclass
@@ -105,6 +110,11 @@ def vit_attention(cfg: ViTConfig, ap: AttentionP, qstate, prefix: str, x,
     _tap(taps, nm, x, qkv)
     qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
+    # q/k norms (wrap_net.py:24); getattr: params unpickled from pre-field
+    # checkpoints lack the attribute
+    qn, kn = getattr(ap, "q_norm", None), getattr(ap, "k_norm", None)
+    q = q if qn is None else layer_norm(qn, q)
+    k = k if kn is None else layer_norm(kn, k)
 
     nm = f"{prefix}.matmul1"
     kT = jnp.swapaxes(k, -2, -1)

@@ -167,3 +167,58 @@ def test_vit_matches_torch_oracle(rng):
         want = oracle(torch.from_numpy(x)).numpy()
     got = vit_forward(cfg, params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_vit_qk_norm_slots(rng):
+    """timm q_norm/k_norm slots (wrap_net.py:24): None means identity; real
+    affines are applied per-head between qkv and matmul1, matching a torch
+    computation."""
+    torch = pytest.importorskip("torch")
+    from adalog_tpu.models.vit import vit_attention, AttentionP
+    from adalog_tpu.models.layers import LinearP, LayerNormP
+
+    D, H, N, B = 32, 2, 5, 3
+    hd = D // H
+    cfg = ViTConfig(img_size=16, patch_size=8, dim=D, depth=1, heads=H,
+                    num_classes=10)
+    wqkv = (rng.standard_normal((3 * D, D)) * 0.2).astype(np.float32)
+    bqkv = (rng.standard_normal(3 * D) * 0.1).astype(np.float32)
+    wproj = (rng.standard_normal((D, D)) * 0.2).astype(np.float32)
+    bproj = (rng.standard_normal(D) * 0.1).astype(np.float32)
+    gq = (1 + 0.1 * rng.standard_normal(hd)).astype(np.float32)
+    bq = (0.1 * rng.standard_normal(hd)).astype(np.float32)
+    gk = (1 + 0.1 * rng.standard_normal(hd)).astype(np.float32)
+    bk = (0.1 * rng.standard_normal(hd)).astype(np.float32)
+    x = rng.standard_normal((B, N, D)).astype(np.float32)
+
+    ap = AttentionP(
+        qkv=LinearP(w=jnp.asarray(wqkv), b=jnp.asarray(bqkv)),
+        proj=LinearP(w=jnp.asarray(wproj), b=jnp.asarray(bproj)),
+        q_norm=LayerNormP(g=jnp.asarray(gq), b=jnp.asarray(bq), eps=1e-6),
+        k_norm=LayerNormP(g=jnp.asarray(gk), b=jnp.asarray(bk), eps=1e-6))
+    got = np.asarray(vit_attention(cfg, ap, None, "a", jnp.asarray(x),
+                                   None, None))
+
+    with torch.no_grad():
+        xt = torch.tensor(x)
+        qkv = (xt @ torch.tensor(wqkv).T + torch.tensor(bqkv))
+        qkv = qkv.reshape(B, N, 3, H, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = torch.nn.functional.layer_norm(
+            q, (hd,), torch.tensor(gq), torch.tensor(bq), 1e-6)
+        k = torch.nn.functional.layer_norm(
+            k, (hd,), torch.tensor(gk), torch.tensor(bk), 1e-6)
+        attn = (q @ k.transpose(-2, -1)) * hd ** -0.5
+        out = (attn.softmax(-1) @ v).transpose(1, 2).reshape(B, N, D)
+        want = (out @ torch.tensor(wproj).T + torch.tensor(bproj)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # None slots remain the identity path
+    ap0 = AttentionP(qkv=ap.qkv, proj=ap.proj)
+    ap1 = AttentionP(qkv=ap.qkv, proj=ap.proj,
+                     q_norm=None, k_norm=None)
+    np.testing.assert_array_equal(
+        np.asarray(vit_attention(cfg, ap0, None, "a", jnp.asarray(x), None,
+                                 None)),
+        np.asarray(vit_attention(cfg, ap1, None, "a", jnp.asarray(x), None,
+                                 None)))
