@@ -135,28 +135,51 @@ class QuantCalibrator:
                               shard_axis(self.mesh, x.ndim, dim))
 
     def _resume_load(self):
+        """Resume file: a stream of appended pickle records, one per
+        calibrated site — ("__params__", tree) records snapshot the params
+        only when a reparam actually rewrote them, so resume I/O is
+        O(calibrated sites), not O(sites x model size)."""
         if not self.resume_path:
             return
         import os
         import pickle
-        if os.path.exists(self.resume_path):
-            with open(self.resume_path, "rb") as f:
-                saved = pickle.load(f)
-            self.qstate.update(saved.get("qstate", {}))
-            if saved.get("params") is not None:
-                self.params = saved["params"]
-            log.info("resumed %d calibrated sites from %s",
-                     len(self.qstate), self.resume_path)
+        if not os.path.exists(self.resume_path):
+            return
+        from adalog_tpu.utils.checkpoint import _RestrictedUnpickler
+        n = 0
+        with open(self.resume_path, "rb") as f:
+            while True:
+                try:
+                    rec = _RestrictedUnpickler(f).load()
+                except EOFError:
+                    break
+                if isinstance(rec, dict):      # legacy round-1 whole-state dump
+                    self.qstate.update(rec.get("qstate", {}))
+                    if rec.get("params") is not None:
+                        self.params = rec["params"]
+                    n += len(rec.get("qstate", {}))
+                    continue
+                name, payload = rec
+                if name == "__params__":
+                    self.params = payload
+                else:
+                    self.qstate[name] = payload
+                    n += 1
+        log.info("resumed %d calibrated sites from %s", n, self.resume_path)
 
-    def _resume_save(self):
+    def _resume_append(self, names, params_changed: bool = False):
         if not self.resume_path:
             return
         import pickle
-        host = jax.tree_util.tree_map(lambda a: np.asarray(a),
-                                      {"qstate": self.qstate,
-                                       "params": self.params})
-        with open(self.resume_path, "wb") as f:
-            pickle.dump(host, f)
+        host = jax.tree_util.tree_map(np.asarray,
+                                      {nm: self.qstate[nm] for nm in names})
+        with open(self.resume_path, "ab") as f:
+            if params_changed:
+                pickle.dump(("__params__",
+                             jax.tree_util.tree_map(np.asarray, self.params)),
+                            f)
+            for nm in names:
+                pickle.dump((nm, host[nm]), f)
 
     # -- per-family handlers -------------------------------------------------
 
@@ -269,6 +292,7 @@ class QuantCalibrator:
                     for i, (name, ssi, _, _, _) in enumerate(jobs):
                         self._set_linear_state(name, ssi, w_s[i], w_z[i],
                                                a_s[i], a_z[i])
+            self._resume_append([j[0] for j in jobs])
             log.info("searched %d x %-30s [batched] in %.2fs",
                      len(jobs), jobs[0][0], time.time() - t1)
         self._pending = {}
@@ -302,6 +326,7 @@ class QuantCalibrator:
                 self._set_matmul_state(name, ssi,
                                        self._postsoftmax_aq(ssi, q[i]),
                                        B_s[i], B_z[i])
+        self._resume_append([j[0] for j in jobs])
         log.info("searched %d x %-30s [batched] in %.2fs",
                  len(jobs), jobs[0][0], time.time() - t1)
 
@@ -413,11 +438,14 @@ class QuantCalibrator:
                 self._do_postgelu(name, ss, *tap)
             # free this site's captures eagerly (device memory)
             taps[name] = None
-            self._resume_save()
+            if name in self.qstate:      # deferred sites append at flush
+                self._resume_append(
+                    [name], params_changed=(ss.kind == "linear_reparam"))
+            elif ss.kind == "linear_reparam":
+                self._resume_append([], params_changed=True)
             log.info("calibrated %-38s [%s] in %.2fs", name, ss.kind,
                      time.time() - t1)
         self._flush_pending()
-        self._resume_save()
         return self.params, self.qstate
 
     def finish_calibration(self):

@@ -80,6 +80,11 @@ def get_args_parser():
     p.add_argument("--profile", action="store_true",
                    help="capture a device trace of calibration into the run "
                         "dir (view with TensorBoard/Perfetto)")
+    p.add_argument("--resume", type=str, default=None, metavar="PATH",
+                   help="per-site calibration resume file: an interrupted "
+                        "--calibrate run restarts where it left off "
+                        "(appended pickle records; TPU-native addition, the "
+                        "reference has no mid-calibration resume)")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="shard calibration scoring, BRECQ and eval over the "
                         "first N local devices (jax.sharding Mesh over ICI); "
@@ -224,7 +229,8 @@ def main(args):
         return load_checkpoint(path)
 
     calibrator = QuantCalibrator(spec, params, cfg, reparam=reparam,
-                                 mesh=mesh)
+                                 mesh=mesh,
+                                 resume_path=getattr(args, "resume", None))
 
     if not args.load_optimize_checkpoint:
         if args.load_calibrate_checkpoint:
