@@ -40,7 +40,11 @@ class Config:
     train_act: bool = True
     # TPU-native additions (no reference equivalent)
     search_dtype: str = "float32"   # dtype of the candidate-scoring matmuls
-    w_search_gram: bool = False     # Gram-form weight scoring (O(O*I^2)/cand)
+    # Gram-form weight scoring: ~12x fewer scoring FLOPs per candidate;
+    # selections differential-validated against the upstream reference code
+    # (test_ref_differential.py gram variants). bf16 search_dtype measured
+    # SLOWER on-chip (ROUND2_NOTES) and stays off.
+    w_search_gram: bool = True
     batch_sites: bool = True        # layer-batched (vmapped) same-shape searches
     eval_dtype: str = "float32"     # dtype of the quantized eval forward
     capture_device_budget_bytes: int = 8 << 30  # spill capture to host above this

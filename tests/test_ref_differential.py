@@ -91,8 +91,9 @@ def assert_w_equiv(x64, tgt, w64, w_s, w_z, rw_s, rw_z, a_sel, ra_sel,
 # ---------------------------------------------------------------------------
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_V", [1, 3])
-def test_linear_default_vs_reference(rng, n_V):
+@pytest.mark.parametrize("n_V,gram", [(1, False), (3, False), (1, True),
+                                      (3, True)])
+def test_linear_default_vs_reference(rng, n_V, gram):
     ref = load_reference()
     S, T, I, O = 8, 6, 16, 24
     x3 = rng.standard_normal((S, T, I)).astype(np.float32)
@@ -118,7 +119,7 @@ def test_linear_default_vs_reference(rng, n_V):
     w_s, w_z, a_s, a_z = SRCH.search_linear_default(
         jnp.asarray(x3.reshape(-1, I)), jnp.asarray(y3.reshape(-1, O)),
         jnp.asarray(w), jnp.asarray(b), w_bits=BITS, a_bits=BITS, n_V=n_V,
-        eq_n=EQ_N, steps=STEPS, rounds=ROUNDS, use_fpcs=True)
+        eq_n=EQ_N, steps=STEPS, rounds=ROUNDS, use_fpcs=True, gram=gram)
 
     x2 = x3.reshape(-1, I).astype(np.float64)
     tgt = (y3.reshape(-1, O) - b).astype(np.float64)
@@ -242,8 +243,9 @@ def _gelu(pre):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("a_kind", ["adalog", "log2"])
-def test_postgelu_adalog_vs_reference(rng, a_kind):
+@pytest.mark.parametrize("a_kind,gram", [("adalog", False), ("log2", False),
+                                         ("adalog", True)])
+def test_postgelu_adalog_vs_reference(rng, a_kind, gram):
     ref = load_reference()
     S, T, I, O = 8, 6, 16, 24
     x3 = _gelu(rng.standard_normal((S, T, I)).astype(np.float32) * 1.5)
@@ -270,7 +272,8 @@ def test_postgelu_adalog_vs_reference(rng, a_kind):
     w_s, w_z, a_s, q = SRCH.search_linear_postgelu_adalog(
         jnp.asarray(x3.reshape(-1, I)), jnp.asarray(y3.reshape(-1, O)),
         jnp.asarray(w), jnp.asarray(b), GELU_MIN, w_bits=BITS, a_bits=BITS,
-        n_V=1, eq_n=EQ_N, steps=STEPS, rounds=ROUNDS, use_fpcs=True)
+        n_V=1, eq_n=EQ_N, steps=STEPS, rounds=ROUNDS, use_fpcs=True,
+        gram=gram)
 
     # NOTE: our postgelu search covers a_kind via the calibrator's downgrade
     # (logarithm.py:754-761 semantics); the search itself is the adalog one,
