@@ -5,10 +5,9 @@ Headline metric: full FPCS calibration wall-clock for deit_small at W4A4
 (calib_size 32, eq_n 128, search_round 3, steps 6 — the shipped 4-bit config).
 This is the pipeline stage the reference spends its wall-clock on (SURVEY.md
 §3.1 HOT paths). The reference repo publishes no latency/throughput numbers
-(BASELINE.md); vs_baseline is computed against REF_BASELINE_S, a documented
-estimate of the reference's single-GPU calibration wall-clock for this config
-(the paper family reports tens-of-minutes-scale GPU calibration; we use a
-conservative 600 s). Secondary metrics go to stderr.
+(BASELINE.md); vs_baseline is computed against a DERIVED baseline — see
+ref_baseline_s() and BASELINE_DERIVED.json (measured reference-code CPU
+wall-clock + exact scoring-FLOP GPU floor). Secondary metrics go to stderr.
 """
 
 import json
@@ -19,9 +18,33 @@ import time
 
 import numpy as np
 
-REF_BASELINE_S = 600.0  # documented estimate; no published reference number
-LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_last.json")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+LAST_GOOD = os.path.join(_HERE, ".bench_last.json")
+
+
+def ref_baseline_s() -> float:
+    """Reference wall-clock to compare against (derived, not guessed).
+
+    The reference publishes no latency numbers. scripts/derive_baseline.py
+    measures the ACTUAL reference search code on this machine's CPU (CUDA
+    gates stubbed): 88,182 s (24.5 core-hours) for this exact config, and
+    counts the exact scoring FLOPs (1,342 TFLOP). The comparison number used
+    here is the CONSERVATIVE floor: a hypothetical perfect single-GPU
+    implementation sustaining 5 TFLOP/s achieved fp32 over those FLOPs
+    (gpu_equiv_range_s[1]). The real reference would be slower — its
+    wall-clock is dominated by per-chunk host<->device shuttling and Python
+    chunk loops that the FLOP floor ignores. Provenance: BASELINE_DERIVED.json.
+    """
+    path = os.path.join(_HERE, "BASELINE_DERIVED.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return float(d["gpu_equiv_range_s"][1])
+    except Exception:
+        return 268.4   # the derived value, inlined as fallback
+
+
+REF_BASELINE_S = ref_baseline_s()
 
 
 def log(msg):

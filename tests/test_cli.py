@@ -114,3 +114,48 @@ def test_cli_swin_calibrate(tmp_path, monkeypatch):
     args.model = "test_tiny_swin"
     params, qstate = main(args)
     assert "layers.1.downsample.reduction" in qstate
+
+
+@pytest.mark.slow
+def test_cli_loads_reference_pth_checkpoint(tmp_path):
+    """--load-calibrate-checkpoint with a reference-format torch state_dict
+    (.pth) routes through ref_checkpoint and evaluates (test_quant.py:109-127
+    semantics)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import numpy as np
+    from adalog_tpu.models.zoo import build_model
+    from adalog_tpu.utils.config import Config
+    from adalog_tpu.calib.calibrator import QuantCalibrator
+    from adalog_tpu.utils.ref_checkpoint import export_reference_state_dict
+
+    tmp_path = str(tmp_path)
+    config = os.path.join(tmp_path, "tiny_cfg.py")
+    _write_tiny_config(config)
+
+    # produce a reference-format checkpoint from a calibrated tiny model
+    cfg = Config(w_bit=6, a_bit=6, s_bit=6, qhead_a_bit=6, eq_n=32, steps=2,
+                 search_round=1)
+    spec, params = build_model("test_tiny", seed=0)
+    rng = np.random.default_rng(0)
+    img = spec.cfg.img_size
+    batches = [rng.standard_normal((8, img, img, 3)).astype(np.float32)]
+    calib = QuantCalibrator(spec, params, cfg)
+    params, qstate = calib.calibrate(batches)
+    params, qstate = calib.finish_calibration()
+    sd = export_reference_state_dict(spec, cfg, params, qstate)
+    pth = os.path.join(tmp_path, "ref.pth")
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, pth)
+
+    args = _args(tmp_path, config, load_calibrate_checkpoint=pth,
+                 test_calibrate_checkpoint=True)
+    params2, qstate2 = main(args)
+    assert sorted(qstate2) == sorted(qstate)
+    # the loaded model must reproduce the exporter's quantized forward
+    from adalog_tpu.models.zoo import model_forward_fn
+    fwd = model_forward_fn(spec)
+    x = jax.numpy.asarray(rng.standard_normal((2, img, img, 3)),
+                          jax.numpy.float32)
+    y0 = np.asarray(fwd(spec.cfg, params, x, qstate, {"*": "quant"}))
+    y1 = np.asarray(fwd(spec.cfg, params2, x, qstate2, {"*": "quant"}))
+    np.testing.assert_allclose(y0, y1, rtol=2e-5, atol=2e-5)
