@@ -369,3 +369,99 @@ def test_conv_vs_reference(rng):
     assert frac >= 0.6, pair
     frac, pair = _agree(w_z, rw_z, rtol=1e-6)
     assert frac >= 0.6, pair
+
+
+# ---------------------------------------------------------------------------
+# channel-wise Linear + LayerNorm reparam (linear.py:548-621)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_channelwise_reparam_vs_reference(rng):
+    """Full channel-wise pipeline vs upstream: per-channel self-search ->
+    reparam fold into the preceding LayerNorm -> cached-input rewrite ->
+    per-tensor re-search."""
+    ref = load_reference()
+    from adalog_tpu.calib.reparam import (layernorm_channel_reparam,
+                                          rewrite_cached_input)
+    from adalog_tpu.models.layers import LinearP, LayerNormP
+
+    S, T, I, O = 8, 6, 16, 24
+    x3 = (rng.standard_normal((S, T, I)) *
+          (0.5 + rng.random(I))[None, None, :]).astype(np.float32)
+    w = (rng.standard_normal((O, I)) * 0.4).astype(np.float32)
+    b = (rng.standard_normal(O) * 0.1).astype(np.float32)
+    y3 = (x3 @ w.T + b).astype(np.float32)
+    g_ln = (1 + 0.1 * rng.standard_normal(I)).astype(np.float32)
+    b_ln = (0.1 * rng.standard_normal(I)).astype(np.float32)
+
+    with cuda_stubs() as torch:
+        m = ref.linear.AsymmetricallyChannelWiseBatchingQuantLinear(
+            I, O, bias=True, w_bit=BITS, a_bit=BITS, calib_batch_size=4,
+            search_round=ROUNDS, eq_n=EQ_N, n_V=1, fpcs=True, steps=STEPS)
+        ln = torch.nn.LayerNorm(I)
+        with torch.no_grad():
+            ln.weight.copy_(_t(g_ln))
+            ln.bias.copy_(_t(b_ln))
+            m.weight.copy_(_t(w))
+            m.bias.copy_(_t(b))
+        m.prev_layer = ln
+        m.raw_input, m.raw_out = _t(x3), _t(y3)
+        with torch.no_grad():
+            m.hyperparameter_searching()     # channel-wise self-search only
+            r_cw_scale = m.a_quantizer.scale.detach().numpy().copy()
+            r_cw_zp = m.a_quantizer.zero_point.detach().numpy().copy()
+            m.reparam()                      # fold + rewrite + re-search
+        ref_ln_w = ln.weight.detach().numpy()
+        ref_ln_b = ln.bias.detach().numpy()
+        ref_w = m.weight.detach().numpy()
+        ref_b = m.bias.detach().numpy()
+        ra_s = float(m.a_quantizer.scale.detach())
+        ra_z = float(m.a_quantizer.zero_point.detach())
+        rw_s = m.w_quantizer.scale.detach().numpy()
+        rw_z = m.w_quantizer.zero_point.detach().numpy()
+
+    # 1) our channel-wise self-search agrees with the reference's (modulo
+    #    per-channel near-ties)
+    from adalog_tpu.calib import search as SRCH2
+    x2 = jnp.asarray(x3.reshape(-1, I))
+    a_s, a_z = SRCH2.search_act_channelwise(
+        x2, a_bits=BITS, eq_n=EQ_N, steps=STEPS, use_fpcs=True)
+    frac, pair = _agree(a_s, r_cw_scale, rtol=1e-5)
+    assert frac >= 0.8, pair
+
+    # 2) fold math: feed the REFERENCE's own channel selections into our
+    #    reparam — every derived quantity must then match exactly (the
+    #    target mean couples all channels, so selection flips cannot be
+    #    tolerated out per-channel)
+    norm = LayerNormP(g=jnp.asarray(g_ln), b=jnp.asarray(b_ln))
+    lin = LinearP(w=jnp.asarray(w), b=jnp.asarray(b))
+    new_norm, new_lin, r, bb, _, _ = layernorm_channel_reparam(
+        norm, lin, jnp.asarray(r_cw_scale), jnp.asarray(r_cw_zp))
+    np.testing.assert_allclose(np.asarray(new_norm.g), ref_ln_w,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_norm.b), ref_ln_b,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_lin.w), ref_w,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_lin.b), ref_b,
+                               rtol=1e-4, atol=1e-5)
+
+    # 3) per-tensor re-search on the identically rewritten input:
+    #    objective-equivalent selections
+    x2r = rewrite_cached_input(x2, r, bb)
+    w_s, w_z, a_s2, a_z2 = SRCH2.search_linear_default(
+        x2r, jnp.asarray(y3.reshape(-1, O)), new_lin.w, new_lin.b,
+        w_bits=BITS, a_bits=BITS, n_V=1, eq_n=EQ_N, steps=STEPS,
+        rounds=ROUNDS, use_fpcs=True)
+    x64 = np.asarray(x2r, np.float64)
+    tgt = (y3.reshape(-1, O) - ref_b).astype(np.float64)
+    mse_repo = _linear_mse(x64, tgt, np.asarray(new_lin.w, np.float64),
+                           np.asarray(w_s, np.float64).reshape(O, 1),
+                           np.asarray(w_z, np.float64).reshape(O, 1),
+                           float(a_s2[0]), float(a_z2[0]))
+    mse_ref = _linear_mse(x64, tgt, ref_w.astype(np.float64),
+                          rw_s.astype(np.float64).reshape(O, 1),
+                          rw_z.astype(np.float64).reshape(O, 1),
+                          ra_s, ra_z)
+    assert mse_repo <= mse_ref * 1.01 and mse_ref <= mse_repo * 1.01, \
+        (mse_repo, mse_ref)
