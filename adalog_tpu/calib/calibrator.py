@@ -51,33 +51,57 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
     exceeds ``device_budget_bytes``, taps spill to host memory per batch and
     are re-uploaded site-by-site at search time — the deterministic analog of
     the reference's keep-activations-on-CPU policy (calibrator.py:17-28),
-    taken only when actually needed.
+    taken only when actually needed. In spill mode the taps are additionally
+    captured in GROUPS over multiple forward passes: a single program
+    returning the full 15-30 GB tap set both exceeds device memory and
+    crashes XLA's remat pass at vit_large scale, while the extra forward
+    FLOPs are negligible next to the searches.
     """
+    from functools import partial
+
     fwd = model_forward_fn(spec)
 
-    @jax.jit
-    def run(p, x):
+    @partial(jax.jit, static_argnames=("names",))
+    def run_group(p, x, names=None):
         _, taps = fwd(spec.cfg, p, x, capture=True)
-        return taps
+        return taps if names is None else {k: taps[k] for k in names}
 
     spill = False
+    groups = [None]                              # one pass, all taps
+    shapes = jax.eval_shape(run_group, params, jax.ShapeDtypeStruct(
+        batches[0].shape, jnp.float32))
     if device_budget_bytes is not None:
-        shapes = jax.eval_shape(run, params, jax.ShapeDtypeStruct(
-            batches[0].shape, jnp.float32))
-        per_batch_bytes = sum(
-            int(np.prod(s.shape)) * 4 for s in jax.tree_util.tree_leaves(shapes))
+        site_bytes = {
+            nm: sum(int(np.prod(s.shape)) * 4 for s in tup)
+            for nm, tup in shapes.items()}
+        per_batch_bytes = sum(site_bytes.values())
         total = per_batch_bytes * len(batches)
         spill = total > device_budget_bytes
         if spill:
+            pass_cap = max(device_budget_bytes // 4,
+                           max(site_bytes.values()))
+            groups, cur, cur_b = [], [], 0
+            for nm in shapes:                    # insertion = layout order
+                if cur and cur_b + site_bytes[nm] > pass_cap:
+                    groups.append(tuple(cur))
+                    cur, cur_b = [], 0
+                cur.append(nm)
+                cur_b += site_bytes[nm]
+            if cur:
+                groups.append(tuple(cur))
             log.info("capture footprint %.1f GB > budget %.1f GB; "
-                     "spilling to host", total / 2**30,
-                     device_budget_bytes / 2**30)
+                     "spilling to host in %d passes/batch",
+                     total / 2**30, device_budget_bytes / 2**30, len(groups))
 
     per_batch = []
     for xb in batches:
-        taps = run(params, jnp.asarray(xb))
-        if spill:
-            taps = jax.tree_util.tree_map(lambda a: np.asarray(a), taps)
+        xb = jnp.asarray(xb)
+        taps = {}
+        for g in groups:
+            part = run_group(params, xb, g)
+            if spill:
+                part = jax.tree_util.tree_map(lambda a: np.asarray(a), part)
+            taps.update(part)
         per_batch.append(taps)
     cat = np.concatenate if spill else jnp.concatenate
     names = per_batch[0].keys()
