@@ -65,3 +65,172 @@ def load_reference():
                              conv=ref_conv, logarithm=ref_logarithm,
                              uniform=ref_uniform)
     return _cache
+
+
+# ---------------------------------------------------------------------------
+# minimal fake timm: just enough for the reference's wrap_net/block_recon
+# imports and isinstance checks (the real timm is not in this image)
+# ---------------------------------------------------------------------------
+
+def install_fake_timm():
+    """Register a minimal `timm` in sys.modules so /root/reference's
+    utils.wrap_net / utils.calibrator / utils.block_recon import cleanly.
+    Returns the timm module. The classes mirror timm 0.9 structure exactly
+    where the reference touches it: attribute names, state-dict keys, and
+    the pre-norm block wiring."""
+    import types
+    import torch
+    import torch.nn as nn
+
+    if "timm" in sys.modules:
+        return sys.modules["timm"]
+
+    class Attention(nn.Module):
+        def __init__(self, dim, num_heads):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3)
+            self.proj = nn.Linear(dim, dim)
+            self.q_norm = nn.Identity()
+            self.k_norm = nn.Identity()
+            self.attn_drop = nn.Identity()
+            self.proj_drop = nn.Identity()
+
+        def forward(self, x):   # replaced by wrap_net's vit_attn_forward
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(
+                B, N, 3, self.num_heads, C // self.num_heads
+            ).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = ((q @ k.transpose(-2, -1)) * self.scale).softmax(-1)
+            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(x)
+
+    class Mlp(nn.Module):
+        def __init__(self, dim, hidden):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, hidden)
+            self.act = nn.GELU()
+            self.fc2 = nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class Block(nn.Module):
+        def __init__(self, dim, num_heads, mlp_ratio=4):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+            self.attn = Attention(dim, num_heads)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = Mlp(dim, int(dim * mlp_ratio))
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.mlp(self.norm2(x))
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, in_chans, dim, patch):
+            super().__init__()
+            self.proj = nn.Conv2d(in_chans, dim, patch, stride=patch)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class WindowAttention(nn.Module):
+        pass
+
+    class SwinTransformerBlock(nn.Module):
+        pass
+
+    class PatchMerging(nn.Module):
+        pass
+
+    def window_partition(x, ws):
+        B, H, W, C = x.shape
+        x = x.view(B, H // ws, ws, W // ws, ws, C)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+
+    def window_reverse(w, ws, H, W):
+        B = int(w.shape[0] / (H * W / ws / ws))
+        x = w.view(B, H // ws, W // ws, ws, ws, -1)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    vt = types.ModuleType("timm.models.vision_transformer")
+    swm = types.ModuleType("timm.models.swin_transformer")
+    layers = types.ModuleType("timm.layers")
+    pe = types.ModuleType("timm.layers.patch_embed")
+
+    vt.Attention, vt.Block, vt.Mlp = Attention, Block, Mlp
+    swm.WindowAttention = WindowAttention
+    swm.SwinTransformerBlock = SwinTransformerBlock
+    swm.PatchMerging = PatchMerging
+    swm.window_partition = window_partition
+    swm.window_reverse = window_reverse
+    pe.PatchEmbed = PatchEmbed
+    layers.patch_embed = pe
+    layers.PatchEmbed = PatchEmbed
+    models.vision_transformer = vt
+    models.swin_transformer = swm
+    timm.models = models
+    timm.layers = layers
+    for name, mod in (("timm", timm), ("timm.models", models),
+                      ("timm.models.vision_transformer", vt),
+                      ("timm.models.swin_transformer", swm),
+                      ("timm.layers", layers),
+                      ("timm.layers.patch_embed", pe)):
+        sys.modules[name] = mod
+    return timm
+
+
+def make_tiny_timm_vit(img=16, patch=8, dim=32, depth=2, heads=2,
+                       classes=10, seed=0):
+    """A timm-structured torch ViT: state-dict keys and module paths match
+    what the reference's wrap_net walks (blocks.N.attn.qkv, mlp.fc1/fc2,
+    patch_embed.proj, head)."""
+    import torch
+    import torch.nn as nn
+
+    timm = install_fake_timm()
+    vt = sys.modules["timm.models.vision_transformer"]
+    pe = sys.modules["timm.layers.patch_embed"]
+
+    class TinyViT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            n_tok = (img // patch) ** 2
+            self.patch_embed = pe.PatchEmbed(3, dim, patch)
+            self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+            self.pos_embed = nn.Parameter(torch.zeros(1, n_tok + 1, dim))
+            self.blocks = nn.Sequential(*[vt.Block(dim, heads)
+                                          for _ in range(depth)])
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+            self.head = nn.Linear(dim, classes)
+
+        def forward(self, x):
+            t = self.patch_embed(x)
+            cls = self.cls_token.expand(t.shape[0], -1, -1)
+            h = torch.cat([cls, t], dim=1) + self.pos_embed
+            h = self.blocks(h)
+            h = self.norm(h)
+            return self.head(h[:, 0])
+
+    torch.manual_seed(seed)
+    m = TinyViT()
+    with torch.no_grad():
+        m.cls_token.normal_(0, 0.5)
+        m.pos_embed.normal_(0, 0.5)
+    return m
+
+
+def load_reference_full():
+    """Import the reference's pipeline modules (wrap_net + calibrator),
+    with the fake timm installed first."""
+    load_reference()
+    install_fake_timm()
+    import utils.wrap_net as ref_wrap_net        # noqa: E402
+    import utils.calibrator as ref_calibrator    # noqa: E402
+    from types import SimpleNamespace as NS
+    return NS(wrap_net=ref_wrap_net, calibrator=ref_calibrator)
