@@ -115,3 +115,93 @@ def test_full_pipeline_vs_reference(rng):
         ref_qg = float(blk.mlp.fc2.a_quantizer.q)
         our_qg = float(qstate[f"blocks.{i}.mlp.fc2"].aq.log_q)
         assert ref_qg == our_qg, (i, ref_qg, our_qg)
+
+
+@pytest.mark.slow
+def test_full_optimize_pipeline_vs_reference(rng):
+    """--optimize differential: both pipelines run calibrate + BRECQ block
+    reconstruction (reduced iters) on identical weights/data. RNG streams
+    for batch sampling necessarily differ (torch.randperm vs jax.random), so
+    the criterion is quality: both reconstructed quantized models must
+    approximate FP32 equally well, and the hard-freeze orchestration must
+    leave both models in eval-ready state (block_recon.py:139-157)."""
+    import copy
+    ref = load_reference_full()
+    import utils.block_recon as ref_br
+
+    tm = make_tiny_timm_vit(IMG, PATCH, DIM, DEPTH, HEADS, CLASSES, seed=0)
+    import torch as _t0
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    calib_np = rng.standard_normal((8, IMG, IMG, 3)).astype(np.float32)
+    val_np = rng.standard_normal((16, IMG, IMG, 3)).astype(np.float32)
+    ITERS = 60
+
+    with cuda_stubs() as torch:
+        full_model = copy.deepcopy(tm)
+        with torch.no_grad():
+            fp_ref = tm(torch.tensor(val_np.transpose(0, 3, 1, 2))).numpy()
+        ref.wrap_net.wrap_modules_in_net(tm, RefCfg, reparam=True)
+        loader = [(torch.tensor(calib_np.transpose(0, 3, 1, 2)),
+                   torch.zeros(8))]
+        ref.calibrator.QuantCalibrator(tm, loader).batching_quant_calib()
+        recon = ref_br.BlockReconstructor(tm, full_model, loader)
+        # reconstruct_model with reduced iters (its body, block_recon.py:139-157)
+        device = torch.device("cpu")
+        for m in tm.modules():
+            if hasattr(m, "mode"):
+                m.mode = "raw"
+        for name in recon.blocks.keys():
+            recon.init_block_raw_data(recon.blocks[name],
+                                      recon.full_blocks[name], name, device)
+            recon.reconstruct_single_block(name, recon.blocks[name], device,
+                                           batch_size=8, iters=ITERS,
+                                           quant_act=True)
+        for m in tm.modules():
+            if hasattr(m, "mode"):
+                m.mode = "quant_forward"
+            if hasattr(m, "w_quantizer"):
+                m.weight.data.copy_(
+                    m.w_quantizer.get_hard_value(m.weight.data))
+                del m.w_quantizer.alpha
+                m.w_quantizer.round_mode = "nearest"
+        for m in tm.modules():                 # finish_training
+            if hasattr(m, "reparam_bias"):
+                m.reparam_bias()
+        tm.eval()
+        with torch.no_grad():
+            ref_logits = tm(torch.tensor(
+                val_np.transpose(0, 3, 1, 2))).numpy()
+
+    # ---- ours ----
+    from adalog_tpu.recon.brecq import BlockReconstructor
+    from adalog_tpu.calib.layout import quant_layout
+
+    params = load_vit(CFG, sd)
+    params_full = jax.tree_util.tree_map(lambda a: a, params)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4, eq_n=32,
+                 search_round=3, steps=6, recon_iters=ITERS,
+                 optim_batch_size=8)
+    calib = QuantCalibrator(TinySpec, params, cfg)
+    params_q, qstate = calib.calibrate([calib_np])
+    recon2 = BlockReconstructor(TinySpec, params_q, params_full, qstate,
+                                quant_layout(TinySpec, cfg, reparam=True),
+                                cfg)
+    params_q, qstate = recon2.reconstruct([calib_np], quant_act=True)
+    calib.params, calib.qstate = params_q, dict(qstate)
+    params_q, qstate = calib.finish_calibration()
+
+    our_logits = np.asarray(vit_forward(CFG, params_q, jnp.asarray(val_np),
+                                        qstate, {"*": "quant"}))
+    fp_ours = np.asarray(vit_forward(CFG, params, jnp.asarray(val_np)))
+    np.testing.assert_allclose(fp_ours, fp_ref, rtol=2e-4, atol=2e-4)
+
+    q_err_ref = float(np.abs(ref_logits - fp_ref).mean())
+    q_err_ours = float(np.abs(our_logits - fp_ours).mean())
+    assert q_err_ours <= q_err_ref * 1.25 and q_err_ref <= q_err_ours * 1.25, \
+        (q_err_ours, q_err_ref)
+    # random-init logits are near-uniform, so argmax is tie-dominated on a
+    # 16-sample val set; a majority floor still catches gross divergence
+    agree = (our_logits.argmax(-1) == ref_logits.argmax(-1)).mean()
+    assert agree >= 0.6, agree
