@@ -272,54 +272,71 @@ class QuantCalibrator:
                             bits=ss.a_bits, symmetric=False)
         self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
 
+    def _group_chunks(self, jobs):
+        """Split a same-shape job group so the stacked device arrays of one
+        vmapped search stay under a fixed budget — at vit_large scale a
+        24-site group's stacked captures plus sort/scoring scratch can crash
+        the TPU worker (observed on-chip). Equal-size chunks reuse one
+        compiled program; a smaller remainder chunk costs one extra compile.
+        """
+        budget = int(getattr(self.cfg, "batch_group_bytes", 1 << 30))
+        per = sum(int(np.prod(a.shape)) * 4 for a in jobs[0][2:]
+                  if hasattr(a, "shape"))
+        n = max(1, min(len(jobs), budget // max(per, 1)))
+        return [jobs[i:i + n] for i in range(0, len(jobs), n)]
+
     def _flush_pending(self):
         """Run deferred default-linear searches, layer-batched per shape group
         (one vmapped XLA program per group; jobs of size 1 fall back)."""
-        for key, jobs in self._pending.items():
-            t1 = time.time()
-            ss = jobs[0][1]
-            if key[0] in ("matmul", "matmul_post"):
-                self._flush_matmul_group(key, jobs, t1)
-                continue
-            postgelu = key[0] == "postgelu"
-            common = dict(w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
-                          rounds=self.cfg.search_round,
-                          gram=self.cfg.w_search_gram, **self._common())
-            shift = jnp.float32(GELU_MIN)
-            if len(jobs) == 1:
-                name, ss, x2, y2, p = jobs[0]
-                x2, y2 = self._shard_tokens(x2), self._shard_tokens(y2)
-                if postgelu:
-                    res = SRCH.search_linear_postgelu_adalog(
-                        x2, y2, p.w, p.b, shift, **common)
-                    self._set_postgelu_state(name, ss, *res)
-                else:
-                    res = SRCH.search_linear_default(x2, y2, p.w, p.b,
-                                                     **common)
-                    self._set_linear_state(name, ss, *res)
-            else:
-                # sites vmap over axis 0; the token axis (1) is dp-sharded
-                xs = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
-                ys = self._shard_tokens(jnp.stack([j[3] for j in jobs]), dim=1)
-                ws = jnp.stack([j[4].w for j in jobs])
-                bs = jnp.stack([j[4].b for j in jobs])
-                if postgelu:
-                    w_s, w_z, a_s, q = \
-                        SRCH.search_linear_postgelu_adalog_batched(
-                            xs, ys, ws, bs, shift, **common)
-                    for i, (name, ssi, _, _, _) in enumerate(jobs):
-                        self._set_postgelu_state(name, ssi, w_s[i], w_z[i],
-                                                 a_s[i], q[i])
-                else:
-                    w_s, w_z, a_s, a_z = SRCH.search_linear_default_batched(
-                        xs, ys, ws, bs, **common)
-                    for i, (name, ssi, _, _, _) in enumerate(jobs):
-                        self._set_linear_state(name, ssi, w_s[i], w_z[i],
-                                               a_s[i], a_z[i])
-            self._resume_append([j[0] for j in jobs])
-            log.info("searched %d x %-30s [batched] in %.2fs",
-                     len(jobs), jobs[0][0], time.time() - t1)
+        for key, all_jobs in self._pending.items():
+            for jobs in self._group_chunks(all_jobs):
+                self._flush_one_group(key, jobs)
         self._pending = {}
+
+    def _flush_one_group(self, key, jobs):
+        t1 = time.time()
+        ss = jobs[0][1]
+        if key[0] in ("matmul", "matmul_post"):
+            self._flush_matmul_group(key, jobs, t1)
+            return
+        postgelu = key[0] == "postgelu"
+        common = dict(w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
+                      rounds=self.cfg.search_round,
+                      gram=self.cfg.w_search_gram, **self._common())
+        shift = jnp.float32(GELU_MIN)
+        if len(jobs) == 1:
+            name, ss, x2, y2, p = jobs[0]
+            x2, y2 = self._shard_tokens(x2), self._shard_tokens(y2)
+            if postgelu:
+                res = SRCH.search_linear_postgelu_adalog(
+                    x2, y2, p.w, p.b, shift, **common)
+                self._set_postgelu_state(name, ss, *res)
+            else:
+                res = SRCH.search_linear_default(x2, y2, p.w, p.b,
+                                                 **common)
+                self._set_linear_state(name, ss, *res)
+        else:
+            # sites vmap over axis 0; the token axis (1) is dp-sharded
+            xs = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
+            ys = self._shard_tokens(jnp.stack([j[3] for j in jobs]), dim=1)
+            ws = jnp.stack([j[4].w for j in jobs])
+            bs = jnp.stack([j[4].b for j in jobs])
+            if postgelu:
+                w_s, w_z, a_s, q = \
+                    SRCH.search_linear_postgelu_adalog_batched(
+                        xs, ys, ws, bs, shift, **common)
+                for i, (name, ssi, _, _, _) in enumerate(jobs):
+                    self._set_postgelu_state(name, ssi, w_s[i], w_z[i],
+                                             a_s[i], q[i])
+            else:
+                w_s, w_z, a_s, a_z = SRCH.search_linear_default_batched(
+                    xs, ys, ws, bs, **common)
+                for i, (name, ssi, _, _, _) in enumerate(jobs):
+                    self._set_linear_state(name, ssi, w_s[i], w_z[i],
+                                           a_s[i], a_z[i])
+        self._resume_append([j[0] for j in jobs])
+        log.info("searched %d x %-30s [batched] in %.2fs",
+                 len(jobs), jobs[0][0], time.time() - t1)
 
     def _flush_matmul_group(self, key, jobs, t1):
         ss = jobs[0][1]

@@ -128,7 +128,8 @@ def main():
     for name, dtype, pallas, int8 in [("fp32", jnp.float32, False, False),
                                       ("bf16", jnp.bfloat16, False, False),
                                       ("bf16+pallas", jnp.bfloat16, True, False),
-                                      ("int8", jnp.float32, False, True)]:
+                                      ("int8", jnp.float32, False, True),
+                                      ("int8+bf16", jnp.bfloat16, False, True)]:
         fq_gemm.set_enabled(pallas)
         int8_linear.set_enabled(int8)
         f = make_eval(dtype)
