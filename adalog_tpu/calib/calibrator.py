@@ -235,6 +235,16 @@ class QuantCalibrator:
         x2, y2 = _flat2d(x), _flat2d(y)
 
         if ss.kind == "linear_reparam":
+            if getattr(self.cfg, "batch_sites", True) and p.b is not None:
+                # defer stage 1 too: the channel-wise self-searches of every
+                # same-shape reparam site run as one vmapped program (qkv and
+                # fc1 inputs share (T, d_model)); the LayerNorm fold and the
+                # per-tensor re-search happen at flush (_flush_reparam_group).
+                if isinstance(y, np.ndarray) and not isinstance(x2, np.ndarray):
+                    x2 = np.asarray(x2)
+                key = ("reparam", x2.shape, ss.a_bits)
+                self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
+                return
             # stage 1: channel-wise activation self-search (linear.py:585-594)
             a_s, a_z = SRCH.search_act_channelwise(
                 self._shard_tokens(x2), a_bits=ss.a_bits, **self._common())
@@ -286,12 +296,51 @@ class QuantCalibrator:
         return [jobs[i:i + n] for i in range(0, len(jobs), n)]
 
     def _flush_pending(self):
-        """Run deferred default-linear searches, layer-batched per shape group
-        (one vmapped XLA program per group; jobs of size 1 fall back)."""
-        for key, all_jobs in self._pending.items():
-            for jobs in self._group_chunks(all_jobs):
-                self._flush_one_group(key, jobs)
-        self._pending = {}
+        """Run deferred searches, layer-batched per shape group (one vmapped
+        XLA program per group; jobs of size 1 fall back). Reparam stage-1
+        groups flush first — their LayerNorm folds enqueue the per-tensor
+        re-search jobs that the next sweep of the loop flushes."""
+        while self._pending:
+            pending, self._pending = self._pending, {}
+            for key in sorted(pending, key=lambda k: k[0] != "reparam"):
+                for jobs in self._group_chunks(pending[key]):
+                    if key[0] == "reparam":
+                        self._flush_reparam_group(jobs)
+                    else:
+                        self._flush_one_group(key, jobs)
+
+    def _flush_reparam_group(self, jobs):
+        """Batched stage 1 of the channel-wise Linear: one vmapped
+        channel-wise self-search over all sites in the group, then the
+        sequential LayerNorm folds (each touches only its own norm + linear,
+        linear.py:596-621) and cached-input rewrites; the per-tensor
+        re-searches join the regular pending groups."""
+        t1 = time.time()
+        ss = jobs[0][1]
+        spill = isinstance(jobs[0][2], np.ndarray)
+        xs = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
+        a_ss, a_zs = SRCH.search_act_channelwise_batched(
+            xs, a_bits=ss.a_bits, **self._common())
+        for i, (name, ssi, x2, y2, p) in enumerate(jobs):
+            norm = tree_get(self.params, ssi.norm_path)
+            new_norm, new_lin, r, b, _, _ = layernorm_channel_reparam(
+                norm, p, a_ss[i], a_zs[i])
+            self.params = tree_set(self.params, ssi.norm_path, new_norm)
+            self.params = tree_set(self.params, ssi.param_path, new_lin)
+            x2r = rewrite_cached_input(x2, r, b)
+            if spill:
+                x2r = np.asarray(x2r)
+            key2 = ("linear", x2r.shape, new_lin.w.shape, ssi.w_bits,
+                    ssi.a_bits, ssi.n_V)
+            self._pending.setdefault(key2, []).append(
+                (name, ssi, x2r, y2, new_lin))
+        self._resume_append([], params_changed=True)
+        log.info("reparamed %d x %-30s [batched] in %.2fs",
+                 len(jobs), jobs[0][0], time.time() - t1)
+
+    def _name_pending(self, name):
+        return any(j[0] == name
+                   for jobs in self._pending.values() for j in jobs)
 
     def _flush_one_group(self, key, jobs):
         t1 = time.time()
@@ -482,7 +531,9 @@ class QuantCalibrator:
             if name in self.qstate:      # deferred sites append at flush
                 self._resume_append(
                     [name], params_changed=(ss.kind == "linear_reparam"))
-            elif ss.kind == "linear_reparam":
+            elif ss.kind == "linear_reparam" and not self._name_pending(name):
+                # inline (non-batched) path folded the params just now;
+                # deferred sites snapshot params once per flushed group instead
                 self._resume_append([], params_changed=True)
             log.info("calibrated %-38s [%s] in %.2fs", name, ss.kind,
                      time.time() - t1)

@@ -189,18 +189,41 @@ def search_linear_default_batched(xs, ys, ws, bs, *, w_bits: int, a_bits: int,
     return jax.vmap(one)(xs, ys, ws, bs)
 
 
+def _act_channelwise_impl(x, *, a_bits: int, eq_n: int, steps: int,
+                          use_fpcs: bool, mem_scale: int = 1):
+    as0, az0 = C.act_candidates(x, a_bits, eq_n, channel_wise=True)
+    a_s, a_z = fpcs(
+        lambda s, z: S.score_act_self(x, s[:, None, :], z[:, None, :], a_bits,
+                                      channel_wise=True, n_batch=1,
+                                      mem_scale=mem_scale),
+        as0, az0, eq_n=eq_n, steps=_steps(use_fpcs, steps), clamp_min=1e-4)
+    return a_s, a_z
+
+
 @partial(jax.jit, static_argnames=("a_bits", "eq_n", "steps", "use_fpcs"))
 def search_act_channelwise(x, *, a_bits: int, eq_n: int, steps: int,
                            use_fpcs: bool):
     """Per-input-channel activation self-search — the pre-reparam stage of the
     channel-wise Linear (linear.py:585-594). Returns (scale (I,), zp (I,))."""
-    I = x.shape[-1]
-    as0, az0 = C.act_candidates(x, a_bits, eq_n, channel_wise=True)
-    a_s, a_z = fpcs(
-        lambda s, z: S.score_act_self(x, s[:, None, :], z[:, None, :], a_bits,
-                                      channel_wise=True, n_batch=1),
-        as0, az0, eq_n=eq_n, steps=_steps(use_fpcs, steps), clamp_min=1e-4)
-    return a_s, a_z
+    return _act_channelwise_impl(x, a_bits=a_bits, eq_n=eq_n, steps=steps,
+                                 use_fpcs=use_fpcs)
+
+
+@partial(jax.jit, static_argnames=("a_bits", "eq_n", "steps", "use_fpcs"))
+def search_act_channelwise_batched(xs, *, a_bits: int, eq_n: int, steps: int,
+                                   use_fpcs: bool):
+    """Layer-batched pre-reparam self-search: every same-shape reparam site's
+    channel-wise FPCS runs in ONE vmapped program (qkv and fc1 inputs share
+    (T, d_model), so all of a model's reparam sites typically fuse here).
+
+    xs: (L, T, I) -> (scale (L, I), zp (L, I))."""
+    L = xs.shape[0]
+
+    def one(x):
+        return _act_channelwise_impl(x, a_bits=a_bits, eq_n=eq_n, steps=steps,
+                                     use_fpcs=use_fpcs, mem_scale=L)
+
+    return jax.vmap(one)(xs)
 
 
 def _postgelu_adalog_impl(x, y, w, b, shift, *, w_bits: int,
