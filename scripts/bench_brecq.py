@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""On-chip wall-clock for the optimize phase (BRECQ block reconstruction).
+
+The north-star target (BASELINE.json) covers calibration+BRECQ wall-clock;
+bench.py times calibration, this times the reconstruction stage on the real
+TPU at the shipped config (reference: block_recon.py:84-137 — 20,000 Adam
+iters per block, optim batch 32, act-scale lr 4e-5 cosine).
+
+Usage:
+  BRECQ_MODEL=deit_small [BRECQ_OPTIM_SIZE=1024] [BRECQ_ITERS=20000] \
+      python scripts/bench_brecq.py
+Prints BRECQ_RESULT <model>: calib <s> + recon <s> (<blocks> block units).
+"""
+
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    from adalog_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    logging.basicConfig(level=logging.INFO, format="%(message)s",
+                        stream=sys.stderr, force=True)
+
+    from adalog_tpu.models.zoo import build_model
+    from adalog_tpu.utils.config import Config
+    from adalog_tpu.calib.calibrator import QuantCalibrator
+    from adalog_tpu.recon.brecq import BlockReconstructor
+
+    model = os.environ.get("BRECQ_MODEL", "deit_small")
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    cfg.optim_size = int(os.environ.get("BRECQ_OPTIM_SIZE", cfg.optim_size))
+    cfg.recon_iters = int(os.environ.get("BRECQ_ITERS",
+                                         getattr(cfg, "recon_iters", 20000)))
+    spec, params = build_model(model, seed=0)
+    params_full = params
+    img = spec.cfg.img_size
+
+    rng = np.random.default_rng(0)
+    bs = cfg.calib_batch_size
+    calib_batches = [rng.standard_normal((bs, img, img, 3)).astype(np.float32)
+                     for _ in range(cfg.calib_size // bs)]
+    obs = min(cfg.optim_batch_size, cfg.optim_size)
+    optim_batches = [rng.standard_normal(
+        (obs, img, img, 3)).astype(np.float32)
+        for _ in range(max(1, cfg.optim_size // obs))]
+
+    t0 = time.time()
+    calib = QuantCalibrator(spec, params, cfg)
+    params, qstate = calib.calibrate(calib_batches)
+    jax.block_until_ready(jax.tree_util.tree_leaves(qstate)[-1])
+    _ = np.asarray(jax.tree_util.tree_leaves(qstate)[-1])
+    t_calib = time.time() - t0
+
+    t1 = time.time()
+    recon = BlockReconstructor(spec, params, params_full, qstate,
+                               calib.layout, cfg)
+    params, qstate = recon.reconstruct(optim_batches, quant_act=cfg.train_act)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[-1])
+    _ = np.asarray(jax.tree_util.tree_leaves(params)[-1])
+    t_recon = time.time() - t1
+
+    print(f"BRECQ_RESULT {model}: calib {t_calib:.1f}s + recon {t_recon:.1f}s "
+          f"(iters={cfg.recon_iters}, optim_size={cfg.optim_size})",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
