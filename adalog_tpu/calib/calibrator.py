@@ -282,15 +282,19 @@ class QuantCalibrator:
                             bits=ss.a_bits, symmetric=False)
         self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
 
-    def _group_chunks(self, jobs):
+    def _group_chunks(self, jobs, stacked_slice=slice(2, None)):
         """Split a same-shape job group so the stacked device arrays of one
         vmapped search stay under a fixed budget — at vit_large scale a
         24-site group's stacked captures plus sort/scoring scratch can crash
         the TPU worker (observed on-chip). Equal-size chunks reuse one
         compiled program; a smaller remainder chunk costs one extra compile.
+
+        stacked_slice selects which job fields actually get stacked on device
+        (reparam stage 1 only stacks x2; its y2 is budgeted later by the
+        per-tensor group it joins).
         """
         budget = int(getattr(self.cfg, "batch_group_bytes", 1 << 30))
-        per = sum(int(np.prod(a.shape)) * 4 for a in jobs[0][2:]
+        per = sum(int(np.prod(a.shape)) * 4 for a in jobs[0][stacked_slice]
                   if hasattr(a, "shape"))
         n = max(1, min(len(jobs), budget // max(per, 1)))
         return [jobs[i:i + n] for i in range(0, len(jobs), n)]
@@ -303,10 +307,12 @@ class QuantCalibrator:
         while self._pending:
             pending, self._pending = self._pending, {}
             for key in sorted(pending, key=lambda k: k[0] != "reparam"):
-                for jobs in self._group_chunks(pending[key]):
-                    if key[0] == "reparam":
+                if key[0] == "reparam":
+                    for jobs in self._group_chunks(pending[key],
+                                                   stacked_slice=slice(2, 3)):
                         self._flush_reparam_group(jobs)
-                    else:
+                else:
+                    for jobs in self._group_chunks(pending[key]):
                         self._flush_one_group(key, jobs)
 
     def _flush_reparam_group(self, jobs):
