@@ -339,6 +339,30 @@ def score_conv_w_out(x, target, w_flat, conv_dims, scales, zps, bits: int):
     kh, kw, stride, padding = conv_dims
     OC = w_flat.shape[0]
     IC = x.shape[-1]
+    N, H, W, _ = x.shape
+
+    if kh == stride and kw == stride and padding == 0 \
+            and H % kh == 0 and W % kw == 0:
+        # Patch-embed case (every zoo model): kernel == stride means the conv
+        # IS patch extraction + GEMM. The direct conv lowering is ~100x slower
+        # on TPU — XLA pads the 3-lane input channel up to the 128-wide
+        # register lane, so nearly all MXU work is on padding (measured 281 s
+        # for this one site on a v5e). Extract patches once, flattened in the
+        # weight's (IC, KH, KW) order, and score candidates with plain GEMMs.
+        Ho, Wo = H // kh, W // kw
+        patches = x.reshape(N, Ho, kh, Wo, kw, IC).transpose(
+            0, 1, 3, 5, 2, 4).reshape(N * Ho * Wo, IC * kh * kw)
+        tgt2 = target.reshape(N, Ho * Wo, OC)
+
+        def one(c):
+            s, z = c
+            out = _mm(patches, uq_asym(w_flat, s, z, bits).T)
+            err2 = jnp.square(tgt2 - out.reshape(N, Ho * Wo, OC))
+            # mean over spatial dims, sum over batch (conv.py:256)
+            return -jnp.sum(jnp.mean(err2, axis=1), axis=0)
+
+        return _map(one, (scales, zps), E,
+                    (target.size + w_flat.size) * 4)
 
     def one(c):
         s, z = c
