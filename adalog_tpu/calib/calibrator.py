@@ -292,12 +292,20 @@ class QuantCalibrator:
         stacked_slice selects which job fields actually get stacked on device
         (reparam stage 1 only stacks x2; its y2 is budgeted later by the
         per-tensor group it joins).
+
+        The 512 MB default is empirically derived: at vit_large shapes a
+        20-site stacked group (~1 GB) reliably crashes the v5e worker while a
+        10-site (~516 MB) group runs fine (scripts + ROUND2_NOTES). Chunks
+        are balanced (sizes differ by at most 1) so most chunks share one
+        compiled program instead of leaving a small remainder chunk.
         """
-        budget = int(getattr(self.cfg, "batch_group_bytes", 1 << 30))
+        budget = int(getattr(self.cfg, "batch_group_bytes", 1 << 29))
         per = sum(int(np.prod(a.shape)) * 4 for a in jobs[0][stacked_slice]
                   if hasattr(a, "shape"))
         n = max(1, min(len(jobs), budget // max(per, 1)))
-        return [jobs[i:i + n] for i in range(0, len(jobs), n)]
+        k = -(-len(jobs) // n)                  # number of chunks
+        bounds = np.linspace(0, len(jobs), k + 1).astype(int)
+        return [jobs[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
 
     def _flush_pending(self):
         """Run deferred searches, layer-batched per shape group (one vmapped

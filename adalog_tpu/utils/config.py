@@ -46,6 +46,9 @@ class Config:
     # SLOWER on-chip (ROUND2_NOTES) and stays off.
     w_search_gram: bool = True
     batch_sites: bool = True        # layer-batched (vmapped) same-shape searches
+    # stacked device bytes per vmapped site group; >1 GB groups crash the v5e
+    # worker at vit_large shapes (ROUND2_NOTES), 512 MB measured safe
+    batch_group_bytes: int = 1 << 29
     eval_dtype: str = "float32"     # dtype of the quantized eval forward
     capture_device_budget_bytes: int = 8 << 30  # spill capture to host above this
     recon_iters: int = 20000

@@ -108,7 +108,10 @@ def main():
     calib = QuantCalibrator(spec, params, cfg, mesh=mesh)
     new_params, qstate = calib.calibrate(batches)
     new_params, qstate = calib.finish_calibration()
-    jax.block_until_ready(jax.tree_util.tree_leaves(qstate)[0])
+    # true sync: block_until_ready does not reliably drain the axon relay
+    # queue; materializing every qstate leaf to host does
+    for leaf in jax.tree_util.tree_leaves(qstate):
+        np.asarray(leaf)
     calib_s = time.time() - t0
     log(f"calibration wall-clock: {calib_s:.1f}s")
 
