@@ -39,6 +39,10 @@ def main():
     cfg.optim_size = int(os.environ.get("BRECQ_OPTIM_SIZE", cfg.optim_size))
     cfg.recon_iters = int(os.environ.get("BRECQ_ITERS",
                                          getattr(cfg, "recon_iters", 20000)))
+    # 4-block vmapped groups stack ~2.5 GB of cached block IO at deit_small /
+    # optim 1024 — past the ~1 GB line that crashes the v5e worker (see
+    # batch_group_bytes); default to ungrouped on-chip
+    cfg.recon_block_group = int(os.environ.get("BRECQ_BLOCK_GROUP", 1))
     spec, params = build_model(model, seed=0)
     params_full = params
     img = spec.cfg.img_size
@@ -53,7 +57,7 @@ def main():
         for _ in range(max(1, cfg.optim_size // obs))]
 
     t0 = time.time()
-    calib = QuantCalibrator(spec, params, cfg)
+    calib = QuantCalibrator(spec, params, cfg, resume_path="/tmp/brecq_resume.pkl")
     params, qstate = calib.calibrate(calib_batches)
     jax.block_until_ready(jax.tree_util.tree_leaves(qstate)[-1])
     _ = np.asarray(jax.tree_util.tree_leaves(qstate)[-1])
