@@ -129,8 +129,19 @@ _TRAIN_FNS: Dict[tuple, object] = {}
 
 
 def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
-                  batch: int, modes_key: tuple):
-    key = (forward, quant_act, rec_kind, iters, batch, modes_key)
+                  batch: int, modes_key: tuple, seg: int = None):
+    """Returns (init_carry, train_seg): a jitted carry initializer and a
+    jitted ``seg``-iteration training segment (the full ``iters`` schedule is
+    still baked in; ``t0`` offsets the step counter).
+
+    Segmenting bounds the wall-clock of any single device execution — one
+    monolithic 20k-iteration scan is a multi-minute XLA program, which the
+    tunneled TPU worker does not survive (ROUND2_NOTES round-2 crashes); the
+    carry (trainables, opt state, PRNG key) is donated between segments so
+    chunking adds only per-call dispatch latency.
+    """
+    seg = iters if seg is None else seg
+    key = (forward, quant_act, rec_kind, iters, batch, modes_key, seg)
     if key in _TRAIN_FNS:
         return _TRAIN_FNS[key]
 
@@ -141,8 +152,12 @@ def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
          "a": optax.adam(optax.cosine_decay_schedule(A_LR, iters, 0.0))},
         param_labels={"w": "w", "a": "a"})
 
+    @jax.jit
+    def init_carry(tr0, key_):
+        return (tr0, opt.init(tr0), key_)
+
     @functools.partial(jax.jit, donate_argnums=(4,))
-    def train(block_params, qstate_block, rin, rout, tr0, key_):
+    def train_seg(block_params, qstate_block, rin, rout, carry, t0):
         n = rin.shape[0]
 
         def loss_fn(tr, xb, yb, t):
@@ -171,13 +186,39 @@ def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
             tr = optax.apply_updates(tr, updates)
             return (tr, ost, k), rec
 
-        (tr, _, _), recs = jax.lax.scan(
-            step, (tr0, opt.init(tr0), key_),
-            jnp.arange(iters, dtype=jnp.float32))
-        return tr, recs
+        carry, recs = jax.lax.scan(
+            step, carry, t0 + jnp.arange(seg, dtype=jnp.float32))
+        return carry, recs
 
-    _TRAIN_FNS[key] = train
-    return train
+    _TRAIN_FNS[key] = (init_carry, train_seg)
+    return init_carry, train_seg
+
+
+def _run_chunked(cfg, get_fns, block_params, qstate_block, rin, rout, tr0,
+                 key_, vmapped: bool = False):
+    """Drive the segmented training loop; returns (trainables, rec0, rec1).
+
+    get_fns(seg) -> (init_carry, train_seg) for a segment length."""
+    iters = cfg.recon_iters
+    seg = max(1, min(iters, int(getattr(cfg, "recon_seg_iters", 1000))))
+    carry, t0 = None, 0
+    rec0 = rec1 = None
+    while t0 < iters:
+        s = min(seg, iters - t0)
+        init_carry, train_seg = get_fns(s)
+        if vmapped:
+            init_carry = jax.vmap(init_carry)
+            train_seg = jax.vmap(train_seg,
+                                 in_axes=(0, 0, 0, 0, 0, None))
+        if carry is None:
+            carry = init_carry(tr0, key_)
+        carry, recs = train_seg(block_params, qstate_block, rin, rout,
+                                carry, jnp.float32(t0))
+        if rec0 is None:
+            rec0 = recs[..., 0]
+        rec1 = recs[..., -1]
+        t0 += s
+    return carry[0], rec0, rec1
 
 
 class BlockReconstructor:
@@ -244,14 +285,18 @@ class BlockReconstructor:
         trainables = self._init_trainables(unit, quant_act)
         block_params = unit.extract(self.params)
 
-        train = _get_train_fn(
-            unit.forward, quant_act=quant_act, rec_kind=rec_kind,
-            iters=cfg.recon_iters, batch=cfg.optim_batch_size,
-            modes_key=tuple(sorted(modes.items())))
-        tr, recs = train(block_params, qstate_block, self._put(raw_in),
-                         self._put(raw_out), trainables,
-                         jax.random.PRNGKey(seed))
-        return jax.device_get(tr), float(recs[0]), float(recs[-1])
+        mk = tuple(sorted(modes.items()))
+
+        def get_fns(s):
+            return _get_train_fn(
+                unit.forward, quant_act=quant_act, rec_kind=rec_kind,
+                iters=cfg.recon_iters, batch=cfg.optim_batch_size,
+                modes_key=mk, seg=s)
+
+        tr, rec0, rec1 = _run_chunked(
+            cfg, get_fns, block_params, qstate_block, self._put(raw_in),
+            self._put(raw_out), trainables, jax.random.PRNGKey(seed))
+        return jax.device_get(tr), float(rec0), float(rec1)
 
     def _train_block_group(self, units, ios, quant_act: bool, seed: int = 0):
         """Train a group of same-shape blocks CONCURRENTLY (vmapped).
@@ -265,10 +310,13 @@ class BlockReconstructor:
         cfg = self.cfg
         u0 = units[0]
         modes = self._site_modes(u0, quant_act)
-        train = _get_train_fn(
-            u0.forward, quant_act=quant_act, rec_kind="mse",
-            iters=cfg.recon_iters, batch=cfg.optim_batch_size,
-            modes_key=tuple(sorted(modes.items())))
+        mk = tuple(sorted(modes.items()))
+
+        def get_fns(s):
+            return _get_train_fn(
+                u0.forward, quant_act=quant_act, rec_kind="mse",
+                iters=cfg.recon_iters, batch=cfg.optim_batch_size,
+                modes_key=mk, seg=s)
 
         def stack(trees):
             return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
@@ -283,11 +331,13 @@ class BlockReconstructor:
                                     for u in units]))
         keys = jnp.stack([jax.random.PRNGKey(seed)] * len(units))
 
-        tr, recs = jax.vmap(train)(bparams, qstates, rins, routs, tr0, keys)
+        tr, rec0, rec1 = _run_chunked(cfg, get_fns, bparams, qstates, rins,
+                                      routs, tr0, keys, vmapped=True)
         tr = jax.device_get(tr)
         per_block = [jax.tree_util.tree_map(lambda x, i=i: x[i], tr)
                      for i in range(len(units))]
-        return per_block, np.asarray(recs)
+        return per_block, np.stack([np.asarray(rec0), np.asarray(rec1)],
+                                   axis=1)
 
     def _freeze_block(self, unit: BlockUnit, trainables, quant_act: bool):
         """Write back trained act scales; freeze hard-rounded weights into the

@@ -53,6 +53,10 @@ class Config:
     capture_device_budget_bytes: int = 8 << 30  # spill capture to host above this
     recon_iters: int = 20000
     recon_block_group: int = 4      # same-shape blocks trained concurrently (vmap)
+    # iterations per jitted training segment: bounds the wall-clock of one
+    # device execution (multi-minute monolithic scans crash the tunneled
+    # worker); the carry is donated between segments
+    recon_seg_iters: int = 1000
     use_pallas: bool = True     # use Pallas TPU kernels where available
     eval_int8: bool = False     # true-int8 MXU GEMMs for uniform Linear sites
 

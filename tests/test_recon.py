@@ -122,3 +122,31 @@ def test_grouped_block_training_equals_sequential(rng):
     y1 = np.asarray(vit_forward(CFG, p1, x, q1, {"*": "quant"}))
     y4 = np.asarray(vit_forward(CFG, p4, x, q4, {"*": "quant"}))
     np.testing.assert_allclose(y4, y1, rtol=1e-5, atol=1e-5)
+
+
+def test_segmented_training_equals_monolithic(rng):
+    """recon_seg_iters chunks the training scan into bounded device
+    executions (multi-minute monolithic scans crash the tunneled TPU worker);
+    the carry hand-off must reproduce the monolithic run exactly — same PRNG
+    stream, temperature offsets and optimizer state."""
+    from adalog_tpu.models.vit import vit_forward
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+
+    results = {}
+    for seg in (1000, 7):      # one segment vs 40 iters in 6 segments
+        cfg, params, qstate, layout = _setup()
+        cfg.recon_seg_iters = seg
+        recon = BlockReconstructor(TinySpec, params, params, qstate, layout,
+                                   cfg)
+        p, q = recon.reconstruct(batches, quant_act=True)
+        results[seg] = (p, q)
+
+    (p0, q0), (p1, q1) = results[1000], results[7]
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    x = jnp.asarray(batches[0])
+    y0 = np.asarray(vit_forward(CFG, p0, x, q0, {"*": "quant"}))
+    y1 = np.asarray(vit_forward(CFG, p1, x, q1, {"*": "quant"}))
+    np.testing.assert_allclose(y1, y0, rtol=1e-6, atol=1e-6)
