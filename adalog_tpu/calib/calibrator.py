@@ -43,19 +43,20 @@ log = logging.getLogger("adalog_tpu")
 
 
 def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
-                      device_budget_bytes: int = None):
+                      device_budget_bytes: int = None, names=None):
     """Run the raw model once per batch, capturing every quant site's I/O.
 
     Returns dict name -> tuple of concatenated arrays (inputs..., output).
-    When the total capture footprint (known ahead of time via jax.eval_shape)
-    exceeds ``device_budget_bytes``, taps spill to host memory per batch and
-    are re-uploaded site-by-site at search time — the deterministic analog of
-    the reference's keep-activations-on-CPU policy (calibrator.py:17-28),
-    taken only when actually needed. In spill mode the taps are additionally
-    captured in GROUPS over multiple forward passes: a single program
-    returning the full 15-30 GB tap set both exceeds device memory and
-    crashes XLA's remat pass at vit_large scale, while the extra forward
-    FLOPs are negligible next to the searches.
+    ``names`` restricts capture to those sites (resume skips already-searched
+    ones). When the total capture footprint (known ahead of time via
+    jax.eval_shape) exceeds ``device_budget_bytes``, taps spill to host memory
+    per batch and are re-uploaded site-by-site at search time — the
+    deterministic analog of the reference's keep-activations-on-CPU policy
+    (calibrator.py:17-28), taken only when actually needed. In spill mode the
+    taps are additionally captured in GROUPS over multiple forward passes: a
+    single program returning the full 15-30 GB tap set both exceeds device
+    memory and crashes XLA's remat pass at vit_large scale, while the extra
+    forward FLOPs are negligible next to the searches.
     """
     from functools import partial
 
@@ -67,9 +68,13 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
         return taps if names is None else {k: taps[k] for k in names}
 
     spill = False
-    groups = [None]                              # one pass, all taps
     shapes = jax.eval_shape(run_group, params, jax.ShapeDtypeStruct(
         batches[0].shape, jnp.float32))
+    if names is not None:
+        shapes = {nm: shapes[nm] for nm in names}
+        if not shapes:
+            return {}
+    groups = [None] if names is None else [tuple(shapes)]
     if device_budget_bytes is not None:
         site_bytes = {
             nm: sum(int(np.prod(s.shape)) * 4 for s in tup)
@@ -139,6 +144,7 @@ class QuantCalibrator:
         self.mesh = mesh
         self.resume_path = resume_path
         self._pending = {}
+        self._folded = {}    # name -> (r, b) of resume-restored reparam folds
         scoring.set_score_dtype(cfg.search_dtype)
 
     def _shard_tokens(self, x, dim: int = 0):
@@ -158,52 +164,95 @@ class QuantCalibrator:
         return jax.device_put(jnp.asarray(x),
                               shard_axis(self.mesh, x.ndim, dim))
 
-    def _resume_load(self):
-        """Resume file: a stream of appended pickle records, one per
-        calibrated site — ("__params__", tree) records snapshot the params
-        only when a reparam actually rewrote them, so resume I/O is
-        O(calibrated sites), not O(sites x model size)."""
-        if not self.resume_path:
-            return
-        import os
-        import pickle
-        if not os.path.exists(self.resume_path):
-            return
-        from adalog_tpu.utils.checkpoint import _RestrictedUnpickler
-        n = 0
-        with open(self.resume_path, "rb") as f:
-            while True:
-                try:
-                    rec = _RestrictedUnpickler(f).load()
-                except EOFError:
-                    break
-                if isinstance(rec, dict):      # legacy round-1 whole-state dump
-                    self.qstate.update(rec.get("qstate", {}))
-                    if rec.get("params") is not None:
-                        self.params = rec["params"]
-                    n += len(rec.get("qstate", {}))
-                    continue
-                name, payload = rec
-                if name == "__params__":
-                    self.params = payload
-                else:
-                    self.qstate[name] = payload
-                    n += 1
-        log.info("resumed %d calibrated sites from %s", n, self.resume_path)
+    # -- resume file: framed npz records, no pickle anywhere ----------------
+    #
+    # Each record is one v2-encoded npz blob (utils/checkpoint.py encode_bytes:
+    # arrays + a JSON schema against the whitelisted dataclass registry, loaded
+    # with allow_pickle=False), framed as MAGIC + uint64-LE length + blob so
+    # records append atomically and a death mid-write only truncates the tail.
+    #
+    # Record kinds:
+    #   ("site", name, site_state)          — a searched site's qstate entry
+    #   ("fold", name, {norm, lin, r, b})   — a LayerNorm channel reparam: the
+    #     folded norm/linear leaves plus the (r, b) input rewrite. Stored
+    #     per-site (not as a whole-params snapshot) so a fold and its
+    #     per-tensor re-search stay consistent across an interruption: on
+    #     resume the fold is re-applied to the params, and the site's captured
+    #     input — captured from the ORIGINAL params, exactly like an
+    #     uninterrupted run's one-pass capture — is rewritten with the stored
+    #     (r, b) instead of re-running stage 1 and folding a second time.
 
-    def _resume_append(self, names, params_changed: bool = False):
-        if not self.resume_path:
+    _RESUME_MAGIC = b"ALRS2\x00"
+
+    def _resume_scan(self):
+        """Read all complete records from the resume file (without applying)."""
+        import os
+        if not self.resume_path or not os.path.exists(self.resume_path):
+            return []
+        from adalog_tpu.utils.checkpoint import decode_bytes
+        recs = []
+        hdr_n = len(self._RESUME_MAGIC) + 8
+        with open(self.resume_path, "rb") as f:
+            first = True
+            while True:
+                hdr = f.read(hdr_n)
+                if not hdr:
+                    break
+                if len(hdr) < hdr_n or \
+                        hdr[:len(self._RESUME_MAGIC)] != self._RESUME_MAGIC:
+                    if first:
+                        raise ValueError(
+                            f"{self.resume_path} is not a v2 resume file "
+                            "(the round-2 pickle resume format is no longer "
+                            "supported) — delete it or pass a fresh path")
+                    log.warning("resume file %s: truncated record header; "
+                                "ignoring the tail", self.resume_path)
+                    break
+                n = int.from_bytes(hdr[len(self._RESUME_MAGIC):], "little")
+                blob = f.read(n)
+                if len(blob) < n:
+                    log.warning("resume file %s: truncated record; ignoring "
+                                "the tail", self.resume_path)
+                    break
+                recs.append(decode_bytes(blob))
+                first = False
+        return recs
+
+    def _resume_apply(self, recs):
+        n_sites = n_folds = 0
+        for tag, name, payload in recs:
+            if tag == "site":
+                self.qstate[name] = payload
+                n_sites += 1
+            elif tag == "fold":
+                ss = self.layout[name]
+                self.params = tree_set(self.params, ss.norm_path,
+                                       payload["norm"])
+                self.params = tree_set(self.params, ss.param_path,
+                                       payload["lin"])
+                self._folded[name] = (payload["r"], payload["b"])
+                n_folds += 1
+        if recs:
+            log.info("resumed %d calibrated sites (+%d reparam folds) from %s",
+                     n_sites, n_folds, self.resume_path)
+
+    def _resume_append(self, records):
+        """Append ("site"|"fold", name, payload) records. Device leaves are
+        materialized to host by the encoder — this is also the true-sync
+        point the instrumented per-group timings rely on."""
+        if not self.resume_path or not records:
             return
-        import pickle
-        host = jax.tree_util.tree_map(np.asarray,
-                                      {nm: self.qstate[nm] for nm in names})
+        from adalog_tpu.utils.checkpoint import encode_bytes
+        frames = []
+        for rec in records:
+            blob = encode_bytes(rec)
+            frames.append(self._RESUME_MAGIC +
+                          len(blob).to_bytes(8, "little") + blob)
         with open(self.resume_path, "ab") as f:
-            if params_changed:
-                pickle.dump(("__params__",
-                             jax.tree_util.tree_map(np.asarray, self.params)),
-                            f)
-            for nm in names:
-                pickle.dump((nm, host[nm]), f)
+            f.write(b"".join(frames))
+
+    def _site_records(self, names):
+        return [("site", nm, self.qstate[nm]) for nm in names]
 
     # -- per-family handlers -------------------------------------------------
 
@@ -235,7 +284,14 @@ class QuantCalibrator:
         x2, y2 = _flat2d(x), _flat2d(y)
 
         if ss.kind == "linear_reparam":
-            if getattr(self.cfg, "batch_sites", True) and p.b is not None:
+            if name in self._folded:
+                # resume restored this site's fold into the params; the tap
+                # was captured from the ORIGINAL params (one-pass capture),
+                # so apply the stored input rewrite and go straight to the
+                # per-tensor search — folding again would miscalibrate.
+                r, b = self._folded[name]
+                x2 = rewrite_cached_input(x2, jnp.asarray(r), jnp.asarray(b))
+            elif getattr(self.cfg, "batch_sites", True) and p.b is not None:
                 # defer stage 1 too: the channel-wise self-searches of every
                 # same-shape reparam site run as one vmapped program (qkv and
                 # fc1 inputs share (T, d_model)); the LayerNorm fold and the
@@ -245,17 +301,22 @@ class QuantCalibrator:
                 key = ("reparam", x2.shape, ss.a_bits)
                 self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
                 return
-            # stage 1: channel-wise activation self-search (linear.py:585-594)
-            a_s, a_z = SRCH.search_act_channelwise(
-                self._shard_tokens(x2), a_bits=ss.a_bits, **self._common())
-            # stage 2: fold ranges into the preceding LayerNorm (linear.py:614-621)
-            norm = tree_get(self.params, ss.norm_path)
-            new_norm, new_lin, r, b, _, _ = layernorm_channel_reparam(
-                norm, p, a_s, a_z)
-            self.params = tree_set(self.params, ss.norm_path, new_norm)
-            self.params = tree_set(self.params, ss.param_path, new_lin)
-            p = new_lin
-            x2 = rewrite_cached_input(x2, r, b)
+            else:
+                # stage 1: channel-wise activation self-search
+                # (linear.py:585-594)
+                a_s, a_z = SRCH.search_act_channelwise(
+                    self._shard_tokens(x2), a_bits=ss.a_bits, **self._common())
+                # stage 2: fold ranges into the preceding LayerNorm
+                # (linear.py:614-621)
+                norm = tree_get(self.params, ss.norm_path)
+                new_norm, new_lin, r, b, _, _ = layernorm_channel_reparam(
+                    norm, p, a_s, a_z)
+                self.params = tree_set(self.params, ss.norm_path, new_norm)
+                self.params = tree_set(self.params, ss.param_path, new_lin)
+                p = new_lin
+                x2 = rewrite_cached_input(x2, r, b)
+                self._resume_append([("fold", name, {
+                    "norm": new_norm, "lin": new_lin, "r": r, "b": b})])
 
         if getattr(self.cfg, "batch_sites", True) and p.b is not None:
             # defer: same-shape sites are searched together in one vmapped
@@ -300,8 +361,18 @@ class QuantCalibrator:
         compiled program instead of leaving a small remainder chunk.
         """
         budget = int(getattr(self.cfg, "batch_group_bytes", 1 << 29))
-        per = sum(int(np.prod(a.shape)) * 4 for a in jobs[0][stacked_slice]
-                  if hasattr(a, "shape"))
+
+        def el_bytes(el):
+            # arrays count directly; param dataclasses (LinearP etc.) count
+            # their array leaves — the stacked ws/bs of a wide-weight group
+            # (fc1/fc2 at vit_large+) are real device bytes too
+            if hasattr(el, "shape"):
+                return int(np.prod(el.shape)) * 4
+            leaves = jax.tree_util.tree_leaves(el)
+            return sum(int(np.prod(a.shape)) * 4
+                       for a in leaves if hasattr(a, "shape"))
+
+        per = sum(el_bytes(el) for el in jobs[0][stacked_slice])
         n = max(1, min(len(jobs), budget // max(per, 1)))
         k = -(-len(jobs) // n)                  # number of chunks
         bounds = np.linspace(0, len(jobs), k + 1).astype(int)
@@ -335,6 +406,7 @@ class QuantCalibrator:
         xs = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
         a_ss, a_zs = SRCH.search_act_channelwise_batched(
             xs, a_bits=ss.a_bits, **self._common())
+        folds = []
         for i, (name, ssi, x2, y2, p) in enumerate(jobs):
             norm = tree_get(self.params, ssi.norm_path)
             new_norm, new_lin, r, b, _, _ = layernorm_channel_reparam(
@@ -348,13 +420,11 @@ class QuantCalibrator:
                     ssi.a_bits, ssi.n_V)
             self._pending.setdefault(key2, []).append(
                 (name, ssi, x2r, y2, new_lin))
-        self._resume_append([], params_changed=True)
+            folds.append(("fold", name, {"norm": new_norm, "lin": new_lin,
+                                         "r": r, "b": b}))
+        self._resume_append(folds)
         log.info("reparamed %d x %-30s [batched] in %.2fs",
                  len(jobs), jobs[0][0], time.time() - t1)
-
-    def _name_pending(self, name):
-        return any(j[0] == name
-                   for jobs in self._pending.values() for j in jobs)
 
     def _flush_one_group(self, key, jobs):
         t1 = time.time()
@@ -397,7 +467,7 @@ class QuantCalibrator:
                 for i, (name, ssi, _, _, _) in enumerate(jobs):
                     self._set_linear_state(name, ssi, w_s[i], w_z[i],
                                            a_s[i], a_z[i])
-        self._resume_append([j[0] for j in jobs])
+        self._resume_append(self._site_records([j[0] for j in jobs]))
         log.info("searched %d x %-30s [batched] in %.2fs",
                  len(jobs), jobs[0][0], time.time() - t1)
 
@@ -430,7 +500,7 @@ class QuantCalibrator:
                 self._set_matmul_state(name, ssi,
                                        self._postsoftmax_aq(ssi, q[i]),
                                        B_s[i], B_z[i])
-        self._resume_append([j[0] for j in jobs])
+        self._resume_append(self._site_records([j[0] for j in jobs]))
         log.info("searched %d x %-30s [batched] in %.2fs",
                  len(jobs), jobs[0][0], time.time() - t1)
 
@@ -521,14 +591,24 @@ class QuantCalibrator:
         Returns (params, qstate) — params possibly reparameterized.
         """
         t0 = time.time()
+        recs = self._resume_scan()
+        # capture BEFORE applying resume records, from the ORIGINAL params:
+        # bitwise-identical taps to an uninterrupted run's one-pass capture
+        # (reparam folds preserve the composite function, and folded sites'
+        # cached inputs are rewritten from the stored (r, b)). Already-
+        # searched sites are excluded from capture entirely.
+        done = {name for tag, name, _ in recs if tag == "site"}
+        need = None if not recs else \
+            [nm for nm in self.layout if nm not in done]
         taps = capture_all_sites(self.spec, self.params, batches,
-                                 self.cfg.capture_device_budget_bytes)
+                                 self.cfg.capture_device_budget_bytes,
+                                 names=need)
         log.info("capture: %d sites in %.1fs", len(taps), time.time() - t0)
-        self._resume_load()
+        self._resume_apply(recs)
 
         for name, ss in self.layout.items():
             if name in self.qstate:      # resumed
-                taps[name] = None
+                taps.pop(name, None)
                 continue
             t1 = time.time()
             tap = taps[name]
@@ -543,12 +623,7 @@ class QuantCalibrator:
             # free this site's captures eagerly (device memory)
             taps[name] = None
             if name in self.qstate:      # deferred sites append at flush
-                self._resume_append(
-                    [name], params_changed=(ss.kind == "linear_reparam"))
-            elif ss.kind == "linear_reparam" and not self._name_pending(name):
-                # inline (non-batched) path folded the params just now;
-                # deferred sites snapshot params once per flushed group instead
-                self._resume_append([], params_changed=True)
+                self._resume_append(self._site_records([name]))
             log.info("calibrated %-38s [%s] in %.2fs", name, ss.kind,
                      time.time() - t1)
         self._flush_pending()

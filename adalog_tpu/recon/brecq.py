@@ -129,7 +129,8 @@ _TRAIN_FNS: Dict[tuple, object] = {}
 
 
 def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
-                  batch: int, modes_key: tuple, seg: int = None):
+                  batch: int, modes_key: tuple, seg: int = None,
+                  vmapped: bool = False):
     """Returns (init_carry, train_seg): a jitted carry initializer and a
     jitted ``seg``-iteration training segment (the full ``iters`` schedule is
     still baked in; ``t0`` offsets the step counter).
@@ -139,9 +140,14 @@ def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
     tunneled TPU worker does not survive (ROUND2_NOTES round-2 crashes); the
     carry (trainables, opt state, PRNG key) is donated between segments so
     chunking adds only per-call dispatch latency.
+
+    ``vmapped`` returns block-batched variants (leading block axis on every
+    argument except t0). They are cached here like the plain ones, so the
+    segment loop re-traces nothing — a fresh ``jax.vmap`` wrapper per segment
+    would re-trace the whole training program each call.
     """
     seg = iters if seg is None else seg
-    key = (forward, quant_act, rec_kind, iters, batch, modes_key, seg)
+    key = (forward, quant_act, rec_kind, iters, batch, modes_key, seg, vmapped)
     if key in _TRAIN_FNS:
         return _TRAIN_FNS[key]
 
@@ -152,11 +158,9 @@ def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
          "a": optax.adam(optax.cosine_decay_schedule(A_LR, iters, 0.0))},
         param_labels={"w": "w", "a": "a"})
 
-    @jax.jit
     def init_carry(tr0, key_):
         return (tr0, opt.init(tr0), key_)
 
-    @functools.partial(jax.jit, donate_argnums=(4,))
     def train_seg(block_params, qstate_block, rin, rout, carry, t0):
         n = rin.shape[0]
 
@@ -190,6 +194,12 @@ def _get_train_fn(forward, *, quant_act: bool, rec_kind: str, iters: int,
             step, carry, t0 + jnp.arange(seg, dtype=jnp.float32))
         return carry, recs
 
+    if vmapped:
+        init_carry = jax.vmap(init_carry)
+        train_seg = jax.vmap(train_seg, in_axes=(0, 0, 0, 0, 0, None))
+    init_carry = jax.jit(init_carry)
+    train_seg = jax.jit(train_seg, donate_argnums=(4,))
+
     _TRAIN_FNS[key] = (init_carry, train_seg)
     return init_carry, train_seg
 
@@ -198,18 +208,14 @@ def _run_chunked(cfg, get_fns, block_params, qstate_block, rin, rout, tr0,
                  key_, vmapped: bool = False):
     """Drive the segmented training loop; returns (trainables, rec0, rec1).
 
-    get_fns(seg) -> (init_carry, train_seg) for a segment length."""
+    get_fns(seg, vmapped) -> (init_carry, train_seg) for a segment length."""
     iters = cfg.recon_iters
     seg = max(1, min(iters, int(getattr(cfg, "recon_seg_iters", 1000))))
     carry, t0 = None, 0
     rec0 = rec1 = None
     while t0 < iters:
         s = min(seg, iters - t0)
-        init_carry, train_seg = get_fns(s)
-        if vmapped:
-            init_carry = jax.vmap(init_carry)
-            train_seg = jax.vmap(train_seg,
-                                 in_axes=(0, 0, 0, 0, 0, None))
+        init_carry, train_seg = get_fns(s, vmapped)
         if carry is None:
             carry = init_carry(tr0, key_)
         carry, recs = train_seg(block_params, qstate_block, rin, rout,
@@ -287,11 +293,11 @@ class BlockReconstructor:
 
         mk = tuple(sorted(modes.items()))
 
-        def get_fns(s):
+        def get_fns(s, vmapped=False):
             return _get_train_fn(
                 unit.forward, quant_act=quant_act, rec_kind=rec_kind,
                 iters=cfg.recon_iters, batch=cfg.optim_batch_size,
-                modes_key=mk, seg=s)
+                modes_key=mk, seg=s, vmapped=vmapped)
 
         tr, rec0, rec1 = _run_chunked(
             cfg, get_fns, block_params, qstate_block, self._put(raw_in),
@@ -312,11 +318,11 @@ class BlockReconstructor:
         modes = self._site_modes(u0, quant_act)
         mk = tuple(sorted(modes.items()))
 
-        def get_fns(s):
+        def get_fns(s, vmapped=False):
             return _get_train_fn(
                 u0.forward, quant_act=quant_act, rec_kind="mse",
                 iters=cfg.recon_iters, batch=cfg.optim_batch_size,
-                modes_key=mk, seg=s)
+                modes_key=mk, seg=s, vmapped=vmapped)
 
         def stack(trees):
             return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)

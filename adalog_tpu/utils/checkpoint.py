@@ -150,14 +150,41 @@ def _load_v2(path: str):
     return (_to_device(params), _to_device(qstate), schema.get("meta", {}))
 
 
+def encode_bytes(obj) -> bytes:
+    """Encode one pytree as a self-contained npz blob (v2 encoder: arrays +
+    JSON schema, no pickled code). Used by the framed calibration-resume
+    format (calib/calibrator.py) — each appended record is one such blob."""
+    arrays: list = []
+    schema = {"version": FORMAT_VERSION,
+              "obj": _encode(obj, arrays, _registry())}
+    payload = {f"a{i}": a for i, a in enumerate(arrays)}
+    payload["__schema__"] = np.frombuffer(
+        json.dumps(schema).encode(), dtype=np.uint8)
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    return buf.getvalue()
+
+
+def decode_bytes(data: bytes):
+    """Inverse of encode_bytes; loads with allow_pickle=False."""
+    with np.load(io.BytesIO(data), allow_pickle=False) as z:
+        schema = json.loads(bytes(z["__schema__"]).decode())
+        n = sum(1 for k in z.files if k.startswith("a"))
+        arrays = [z[f"a{i}"] for i in range(n)]
+    return _decode(schema["obj"], arrays, _registry())
+
+
 # ---------------------------------------------------------------------------
 # legacy (round-1) pickle loader, restricted
 # ---------------------------------------------------------------------------
 
 class _RestrictedUnpickler(pickle.Unpickler):
-    """Resolves only numpy reconstruction helpers and this package's own
-    modules; any other global (the arbitrary-code-execution vector in stock
-    pickle) raises instead of importing."""
+    """Resolves only numpy reconstruction helpers and this package's
+    whitelisted dataclasses, by exact (module, name) pair; any other global
+    (the arbitrary-code-execution vector in stock pickle) raises instead of
+    importing. A module-prefix whitelist is NOT enough: adalog_tpu contains
+    callables a crafted pickle could REDUCE into code execution (e.g.
+    utils.config.load_config importlib-execs an arbitrary .py path)."""
 
     _NUMPY_OK = {
         ("numpy.core.multiarray", "_reconstruct"),
@@ -169,13 +196,24 @@ class _RestrictedUnpickler(pickle.Unpickler):
         ("numpy.core.numeric", "_frombuffer"),
         ("numpy._core.numeric", "_frombuffer"),
     }
+    _BUILTINS_OK = ("dict", "list", "tuple", "set", "frozenset")
+
+    @classmethod
+    def _allowed_dataclasses(cls):
+        cached = getattr(cls, "_dc_cache", None)
+        if cached is None:
+            cached = {(c.__module__, c.__name__)
+                      for c in _registry().values()}
+            cls._dc_cache = cached
+        return cached
 
     def find_class(self, module, name):
         if (module, name) in self._NUMPY_OK or \
                 module.startswith("numpy.dtypes"):
             return super().find_class(module, name)
-        if module.startswith("adalog_tpu.") or module == "builtins" and \
-                name in ("dict", "list", "tuple", "set", "frozenset"):
+        if (module, name) in self._allowed_dataclasses():
+            return super().find_class(module, name)
+        if module == "builtins" and name in self._BUILTINS_OK:
             return super().find_class(module, name)
         raise pickle.UnpicklingError(
             f"checkpoint pickle references forbidden global "

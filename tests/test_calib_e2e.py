@@ -154,3 +154,119 @@ def test_resume_after_interruption(rng, tmp_path):
     y2 = np.asarray(vit_forward(CFG, p2, x, q2, {"*": "quant"}))
     y3 = np.asarray(vit_forward(CFG, p3, x, q3, {"*": "quant"}))
     np.testing.assert_allclose(y2, y3, rtol=1e-5, atol=1e-6)
+
+
+def _uninterrupted(cfg, params, batches):
+    calib = QuantCalibrator(TinySpec, params, cfg)
+    calib.calibrate(batches)
+    return calib.finish_calibration()
+
+
+def test_resume_between_fold_and_search(rng, tmp_path):
+    """Death in the window between a LayerNorm reparam fold and that site's
+    per-tensor re-search must NOT double-fold on resume: the fold record
+    restores the folded params and the stored (r, b) rewrite the captured
+    input, so the re-search runs against consistent activations."""
+    cfg = make_cfg(batch_sites=False)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    resume = str(tmp_path / "resume.bin")
+
+    class Boom(Exception):
+        pass
+
+    calib = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    orig = calib._set_linear_state
+
+    def bomb(name, *a, **k):
+        if name == "blocks.0.attn.qkv":   # first reparam site, post-fold
+            raise Boom()
+        return orig(name, *a, **k)
+
+    calib._set_linear_state = bomb
+    with pytest.raises(Boom):
+        calib.calibrate(batches)
+    assert "blocks.0.attn.qkv" not in calib.qstate   # fold recorded, search not
+
+    calib2 = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    assert any(t == "fold" for t, _, _ in calib2._resume_scan())
+    calib2.calibrate(batches)
+    p2, q2 = calib2.finish_calibration()
+    assert "blocks.0.attn.qkv" in calib2._folded     # fold applied, not re-run
+
+    p3, q3 = _uninterrupted(cfg, params, batches)
+    x = jnp.asarray(batches[0])
+    y2 = np.asarray(vit_forward(CFG, p2, x, q2, {"*": "quant"}))
+    y3 = np.asarray(vit_forward(CFG, p3, x, q3, {"*": "quant"}))
+    np.testing.assert_allclose(y2, y3, rtol=1e-5, atol=1e-6)
+
+
+def test_resume_batched_after_reparam_flush(rng, tmp_path):
+    """Layer-batched calibration: death at the first per-tensor group flush —
+    after every reparam fold was recorded but before any site record — resumes
+    to the same final state as an uninterrupted batched run."""
+    cfg = make_cfg(batch_sites=True)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    resume = str(tmp_path / "resume.bin")
+
+    class Boom(Exception):
+        pass
+
+    calib = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    orig = calib._flush_one_group
+    calls = {"n": 0}
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Boom()
+        return orig(*a, **k)
+
+    calib._flush_one_group = bomb
+    with pytest.raises(Boom):
+        calib.calibrate(batches)
+
+    calib2 = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    calib2.calibrate(batches)
+    p2, q2 = calib2.finish_calibration()
+    assert set(q2) == set(calib2.layout)
+    assert len(calib2._folded) > 0
+
+    p3, q3 = _uninterrupted(cfg, params, batches)
+    x = jnp.asarray(batches[0])
+    y2 = np.asarray(vit_forward(CFG, p2, x, q2, {"*": "quant"}))
+    y3 = np.asarray(vit_forward(CFG, p3, x, q3, {"*": "quant"}))
+    np.testing.assert_allclose(y2, y3, rtol=1e-5, atol=1e-6)
+
+
+def test_resume_file_is_not_pickle(rng, tmp_path):
+    """The resume stream must be framed npz records (no pickle opcodes), and
+    a legacy pickle resume file must be rejected loudly, not half-loaded."""
+    import pickle
+    cfg = make_cfg(batch_sites=False)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    resume = str(tmp_path / "resume.bin")
+    calib = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    calib.calibrate(batches)
+
+    with open(resume, "rb") as f:
+        head = f.read(6)
+    assert head == QuantCalibrator._RESUME_MAGIC
+
+    # truncated tail (death mid-write) is tolerated: records before it load
+    with open(resume, "rb") as f:
+        data = f.read()
+    with open(resume, "wb") as f:
+        f.write(data[:-7])
+    calib2 = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    recs = calib2._resume_scan()
+    assert len(recs) > 0
+
+    legacy = str(tmp_path / "legacy.pkl")
+    with open(legacy, "wb") as f:
+        pickle.dump(("site", {}), f)
+    calib3 = QuantCalibrator(TinySpec, params, cfg, resume_path=legacy)
+    with pytest.raises(ValueError, match="not a v2 resume file"):
+        calib3.calibrate(batches)

@@ -98,3 +98,39 @@ def test_poisoned_pickle_rejected(tmp_path):
         pickle.dump({"params": Evil(), "qstate": {}, "meta": {}}, f)
     with pytest.raises(pickle.UnpicklingError, match="forbidden global"):
         load_checkpoint(path)
+
+
+def test_package_callable_pickle_rejected(tmp_path):
+    """The whitelist is by exact (module, name) pair, not module prefix —
+    adalog_tpu itself contains REDUCE gadgets (utils.config.load_config
+    importlib-execs an arbitrary .py path; data.native_loader.build shells
+    out to make), so 'anything under adalog_tpu.*' is NOT a safe rule."""
+    import pickle
+    import pytest
+    from adalog_tpu.utils.config import load_config
+
+    class Gadget:
+        def __reduce__(self):
+            return (load_config, ("/tmp/attacker.py",))
+
+    path = os.path.join(tmp_path, "gadget.ckpt")
+    with open(path, "wb") as f:
+        pickle.dump({"params": Gadget(), "qstate": {}, "meta": {}}, f)
+    with pytest.raises(pickle.UnpicklingError, match="forbidden global"):
+        load_checkpoint(path)
+
+
+def test_encode_decode_bytes_roundtrip(rng):
+    """The framed-resume blob encoder round-trips mixed records exactly and
+    contains no pickle (decode loads with allow_pickle=False)."""
+    from adalog_tpu.utils.checkpoint import encode_bytes, decode_bytes
+    from adalog_tpu.models.layers import LinearP
+
+    lin = LinearP(w=jnp.asarray(rng.standard_normal((4, 3)), jnp.float32),
+                  b=jnp.zeros((4,), jnp.float32))
+    rec = ("fold", "blocks.0.attn.qkv",
+           {"lin": lin, "r": np.ones(3, np.float32), "n": 7, "tag": "x"})
+    out = decode_bytes(encode_bytes(rec))
+    assert out[0] == "fold" and out[1] == "blocks.0.attn.qkv"
+    np.testing.assert_array_equal(np.asarray(lin.w), out[2]["lin"].w)
+    assert out[2]["n"] == 7 and out[2]["tag"] == "x"
