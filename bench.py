@@ -22,7 +22,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 LAST_GOOD = os.path.join(_HERE, ".bench_last.json")
 
 
-def ref_baseline_s() -> float:
+def ref_baseline() -> dict:
     """Reference wall-clock to compare against (derived, not guessed).
 
     The reference publishes no latency numbers. scripts/derive_baseline.py
@@ -34,17 +34,32 @@ def ref_baseline_s() -> float:
     (gpu_equiv_range_s[1]). The real reference would be slower — its
     wall-clock is dominated by per-chunk host<->device shuttling and Python
     chunk loops that the FLOP floor ignores. Provenance: BASELINE_DERIVED.json.
+
+    Returns the value WITH its provenance so the emitted JSON is
+    self-describing (the definition changed between rounds 1 and 2; the
+    artifact must say which baseline it divides by).
     """
+    base = {
+        "derivation": "perfect-GPU FLOP floor: exact scoring-GEMM work of "
+                      "the shipped deit_small W4A4 config (1,342 TFLOP) at "
+                      "5 TFLOP/s achieved fp32; measured reference CPU-torch "
+                      "wall-clock for the same config is 88,182 s",
+        "source": "BASELINE_DERIVED.json gpu_equiv_range_s[1]",
+    }
     path = os.path.join(_HERE, "BASELINE_DERIVED.json")
     try:
         with open(path) as f:
             d = json.load(f)
-        return float(d["gpu_equiv_range_s"][1])
+        base["value_s"] = float(d["gpu_equiv_range_s"][1])
+        base["reference_cpu_measured_s"] = float(
+            d.get("ref_cpu_total_s", 88182))
     except Exception:
-        return 268.4   # the derived value, inlined as fallback
+        base["value_s"] = 268.4   # the derived value, inlined as fallback
+    return base
 
 
-REF_BASELINE_S = ref_baseline_s()
+REF_BASELINE = ref_baseline()
+REF_BASELINE_S = REF_BASELINE["value_s"]
 
 
 def log(msg):
@@ -102,18 +117,27 @@ def main():
         mesh = make_mesh(min(mesh_n, len(jax.devices())))
         log(f"mesh: {mesh}")
 
-    # --- headline: calibration wall-clock (includes compile; compiles are
-    # cached across layers of the same shape) ---
-    t0 = time.time()
-    calib = QuantCalibrator(spec, params, cfg, mesh=mesh)
-    new_params, qstate = calib.calibrate(batches)
-    new_params, qstate = calib.finish_calibration()
-    # true sync: block_until_ready does not reliably drain the axon relay
-    # queue; materializing every qstate leaf to host does
-    for leaf in jax.tree_util.tree_leaves(qstate):
-        np.asarray(leaf)
-    calib_s = time.time() - t0
-    log(f"calibration wall-clock: {calib_s:.1f}s")
+    # --- headline: calibration wall-clock, median of N runs (the axon relay
+    # has +-30 s run-to-run variance; a single shot is not a trustworthy
+    # headline). Run 1 additionally pays any residual compile cost; the
+    # median absorbs it. ---
+    n_runs = max(1, int(os.environ.get("ADALOG_BENCH_RUNS", "3")))
+    runs = []
+    for i in range(n_runs):
+        t0 = time.time()
+        calib = QuantCalibrator(spec, params, cfg, mesh=mesh)
+        new_params, qstate = calib.calibrate(batches)
+        new_params, qstate = calib.finish_calibration()
+        # true sync: block_until_ready does not reliably drain the axon relay
+        # queue; materializing every qstate leaf to host does
+        for leaf in jax.tree_util.tree_leaves(qstate):
+            np.asarray(leaf)
+        for leaf in jax.tree_util.tree_leaves(new_params):
+            np.asarray(leaf)
+        runs.append(round(time.time() - t0, 1))
+        log(f"calibration run {i+1}/{n_runs} wall-clock: {runs[-1]:.1f}s")
+    calib_s = float(np.median(runs))
+    log(f"calibration wall-clock: median {calib_s:.1f}s of {runs}")
 
     # --- secondary: quantized eval throughput ---
     fwd = model_forward_fn(spec)
@@ -156,6 +180,9 @@ def main():
         "value": round(calib_s, 1),
         "unit": "seconds",
         "vs_baseline": round(REF_BASELINE_S / calib_s, 2),
+        "aggregate": f"median_of_{n_runs}",
+        "runs_s": runs,
+        "baseline": REF_BASELINE,
     }
     with open(LAST_GOOD, "w") as f:
         json.dump(result, f)
