@@ -146,6 +146,8 @@ class QuantCalibrator:
         self._pending = {}
         self._folded = {}    # name -> (r, b) of resume-restored reparam folds
         scoring.set_score_dtype(cfg.search_dtype)
+        scoring.set_score_precision(getattr(cfg, "search_precision",
+                                            "highest"))
 
     def _shard_tokens(self, x, dim: int = 0):
         if self.mesh is None:

@@ -38,8 +38,19 @@ SCORE_BUDGET_BYTES = 1 << 30
 # fp32 numerics; bfloat16 runs the MXU ~4x faster with fp32 accumulation —
 # candidate *rankings* are argmax-compared, so bf16 input rounding only
 # perturbs near-ties (validated in tests/test_search_dtype.py). Set via
-# set_score_dtype() from Config.search_dtype.
+# set_score_dtype() from Config.search_dtype. Measured SLOWER on-chip than
+# fp32 at default precision (the astype copies cost more than the MXU saves,
+# ROUND2_NOTES) — superseded by set_score_precision below.
 _SCORE_DTYPE = jnp.float32
+
+# Precision of the fp32 candidate-scoring GEMMs. HIGHEST reproduces the
+# reference's exact-fp32 CUDA numerics (~14 TFLOP/s measured on v5e);
+# DEFAULT lets the MXU run its native passes on fp32 operands (~46 TFLOP/s)
+# while ACCUMULATION stays fp32 — only operand mantissas are rounded, so
+# candidate rankings flip only at near-ties (probed per family on real
+# deit_small shapes: scripts/probe_precision.py; differential oracles stay
+# on HIGHEST via tests which pin cfg.search_precision).
+_SCORE_PRECISION = HIGHEST
 
 
 def set_score_dtype(name: str):
@@ -52,12 +63,23 @@ def set_score_dtype(name: str):
         jax.clear_caches()
 
 
+def set_score_precision(name: str):
+    """Select fp32 scoring-GEMM precision: 'highest' or 'default'. Baked
+    into traced programs, so switching invalidates jit caches."""
+    global _SCORE_PRECISION
+    new = HIGHEST if name == "highest" else jax.lax.Precision.DEFAULT
+    if new is not _SCORE_PRECISION:
+        _SCORE_PRECISION = new
+        jax.clear_caches()
+
+
 def _mm(a, b):
     """Scoring matmul in the configured dtype, fp32 accumulate."""
     if _SCORE_DTYPE == jnp.bfloat16:
         return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
-    return jnp.matmul(a, b, precision=HIGHEST)
+    return jnp.matmul(a, b, precision=_SCORE_PRECISION,
+                      preferred_element_type=jnp.float32)
 
 
 def _chunk_size(eq_n: int, bytes_per_candidate: int) -> int:
@@ -165,7 +187,7 @@ def score_linear_w_out(x_q, target, w_v, scales, zps, bits: int,
         else:
             out = jnp.einsum("ti,vri->tvr", x_q, w_dq,
                              preferred_element_type=jnp.float32,
-                             precision=HIGHEST)
+                             precision=_SCORE_PRECISION)
         return -jnp.sum(jnp.square(tgt - out), axis=0)        # (V, R)
 
     return _map(one, (scales, zps), E, (T * O + V * R * I) * 4 * mem_scale)
@@ -200,7 +222,8 @@ def score_linear_w_out_gram(G, Cm, w_v, scales, zps, bits: int,
         w_dq = uq_asym(w_v, s, z, bits)                       # (V, R, I)
         term2 = jnp.sum(w_dq * Cv, axis=-1)                   # (V, R)
         wG = jnp.einsum("vri,ij->vrj", w_dq, G,
-                        preferred_element_type=jnp.float32, precision=HIGHEST)
+                        preferred_element_type=jnp.float32,
+                        precision=_SCORE_PRECISION)
         term3 = jnp.sum(wG * w_dq, axis=-1)                   # (V, R)
         return 2.0 * term2 - term3
 
@@ -372,7 +395,7 @@ def score_conv_w_out(x, target, w_flat, conv_dims, scales, zps, bits: int):
             window_strides=(stride, stride),
             padding=[(padding, padding)] * 2,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32, precision=HIGHEST)
+            preferred_element_type=jnp.float32, precision=_SCORE_PRECISION)
         # mean over spatial dims, sum over batch -> per-out-channel (conv.py:256)
         return -jnp.sum(jnp.mean(jnp.square(target - out), axis=(1, 2)), axis=0)
 

@@ -40,6 +40,12 @@ class Config:
     train_act: bool = True
     # TPU-native additions (no reference equivalent)
     search_dtype: str = "float32"   # dtype of the candidate-scoring matmuls
+    # precision of the fp32 scoring GEMMs: 'highest' reproduces the
+    # reference's exact-fp32 numerics (~14 TFLOP/s on v5e); 'default' runs
+    # the MXU's native fp32 path (~46 TFLOP/s) with fp32 accumulation —
+    # rankings probed identical-or-objective-equivalent per family on real
+    # deit_small shapes (scripts/probe_precision.py)
+    search_precision: str = "highest"
     # Gram-form weight scoring: ~12x fewer scoring FLOPs per candidate;
     # selections differential-validated against the upstream reference code
     # (test_ref_differential.py gram variants). bf16 search_dtype measured
