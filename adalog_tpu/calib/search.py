@@ -53,6 +53,18 @@ def fpcs(score2d, scales, zps, *, eq_n: int, steps: int, width: int = 16,
     """
     delta0 = scales[1] - scales[0]                # (U,) adjacent-scale step
     cnt = eq_n // width
+    if steps > 1 and cnt < 2:
+        # Faithful to the reference, but degenerate: with one child per
+        # survivor the refine step is a fixed -0.5*delta shift and the delta
+        # DOUBLES each step (delta /= cnt-0.5 = 0.5) — a noise-sensitive
+        # random walk instead of a contraction (reference linear.py:491-502
+        # with eq_n/width < 2, reachable via the width-32 joint FPCS when
+        # eq_n < 64). Shipped configs (eq_n=128) never hit this.
+        import logging
+        logging.getLogger("adalog_tpu").warning(
+            "fpcs: eq_n=%d with width=%d gives refine count 1 — the "
+            "refinement degenerates to a diverging scale walk (use eq_n >= "
+            "%d)", eq_n, width, 2 * width)
     sims0 = score2d(scales, zps)
     if steps == 1:
         best_s, best_z = _topk_gather(sims0, scales, zps, 1)

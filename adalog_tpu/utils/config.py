@@ -41,11 +41,14 @@ class Config:
     # TPU-native additions (no reference equivalent)
     search_dtype: str = "float32"   # dtype of the candidate-scoring matmuls
     # precision of the fp32 scoring GEMMs: 'highest' reproduces the
-    # reference's exact-fp32 numerics (~14 TFLOP/s on v5e); 'default' runs
-    # the MXU's native fp32 path (~46 TFLOP/s) with fp32 accumulation —
-    # rankings probed identical-or-objective-equivalent per family on real
-    # deit_small shapes (scripts/probe_precision.py)
-    search_precision: str = "highest"
+    # reference's exact-fp32 numerics (~14 TFLOP/s on v5e); 'default' (the
+    # shipped default) runs the MXU's native fp32 path (~46 TFLOP/s) with
+    # fp32 ACCUMULATION — only operand mantissas round. Probed on real
+    # deit_small shapes (scripts/probe_precision.py, v5e): every integer
+    # AdaLog base selection identical across all six families, scale/zp
+    # near-ties flip with end-to-end quantized error 0.2996 vs 0.2958
+    # (objective-equivalent), warm calibration 56.6 s vs 127.0 s (2.2x).
+    search_precision: str = "default"
     # Gram-form weight scoring: ~12x fewer scoring FLOPs per candidate;
     # selections differential-validated against the upstream reference code
     # (test_ref_differential.py gram variants). bf16 search_dtype measured

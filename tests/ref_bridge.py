@@ -137,14 +137,128 @@ def install_fake_timm():
         def forward(self, x):
             return self.proj(x).flatten(2).transpose(1, 2)
 
+    import numpy as _np
+
+    def _rel_pos_index(ws):
+        coords = _np.stack(_np.meshgrid(_np.arange(ws), _np.arange(ws),
+                                        indexing="ij"))
+        flat = coords.reshape(2, -1)
+        rel = (flat[:, :, None] - flat[:, None, :]).transpose(1, 2, 0)
+        rel = rel.astype(_np.int64)
+        rel[:, :, 0] += ws - 1
+        rel[:, :, 1] += ws - 1
+        rel[:, :, 0] *= 2 * ws - 1
+        return rel.sum(-1)
+
+    def _shift_mask(res, ws, shift):
+        img = _np.zeros((res, res), _np.int32)
+        cnt = 0
+        for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            for wsl in (slice(0, -ws), slice(-ws, -shift),
+                        slice(-shift, None)):
+                img[hs, wsl] = cnt
+                cnt += 1
+        win = img.reshape(res // ws, ws, res // ws, ws).transpose(0, 2, 1, 3)
+        win = win.reshape(-1, ws * ws)
+        diff = win[:, None, :] - win[:, :, None]
+        return _np.where(diff != 0, -100.0, 0.0).astype(_np.float32)
+
     class WindowAttention(nn.Module):
-        pass
+        """timm 0.9.2 WindowAttention surface as touched by the reference:
+        qkv/proj Linears, num_heads, scale, drops, relative_position_bias
+        via _get_rel_pos_bias() (wrap_net.py:35-52 swin_attn_forward)."""
+
+        def __init__(self, dim, num_heads, window_size):
+            super().__init__()
+            self.num_heads = num_heads
+            self.window_size = window_size
+            self.window_area = window_size * window_size
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3)
+            self.proj = nn.Linear(dim, dim)
+            self.attn_drop = nn.Identity()
+            self.proj_drop = nn.Identity()
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * window_size - 1) ** 2, num_heads))
+            # plain attribute: timm registers this persistent=False, so it
+            # does not appear in the state dict either
+            self.relative_position_index = torch.tensor(
+                _rel_pos_index(window_size))
+
+        def _get_rel_pos_bias(self):
+            bias = self.relative_position_bias_table[
+                self.relative_position_index.view(-1)].view(
+                self.window_area, self.window_area, -1)
+            return bias.permute(2, 0, 1).contiguous().unsqueeze(0)
+
+        def forward(self, x, mask=None):   # pre-wrap FP32 path
+            B_, N, C = x.shape
+            qkv = self.qkv(x).reshape(
+                B_, N, 3, self.num_heads, -1).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            q = q * self.scale
+            attn = q @ k.transpose(-2, -1)
+            attn = attn + self._get_rel_pos_bias()
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.view(-1, nW, self.num_heads, N, N) + \
+                    mask.unsqueeze(1).unsqueeze(0)
+                attn = attn.view(-1, self.num_heads, N, N)
+            attn = attn.softmax(dim=-1)
+            x = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+            return self.proj(x)
 
     class SwinTransformerBlock(nn.Module):
-        pass
+        """timm 0.9.2 block: NHWC in/out, cyclic shift + window partition
+        around WindowAttention, pre-norm MLP."""
+
+        def __init__(self, dim, num_heads, res, window_size, shift_size,
+                     mlp_ratio=4):
+            super().__init__()
+            self.window_size = window_size
+            self.window_area = window_size * window_size
+            self.shift_size = shift_size
+            self.norm1 = nn.LayerNorm(dim)
+            self.attn = WindowAttention(dim, num_heads, window_size)
+            self.norm2 = nn.LayerNorm(dim)
+            self.mlp = Mlp(dim, int(dim * mlp_ratio))
+            self.attn_mask = (torch.tensor(_shift_mask(
+                res, window_size, shift_size)) if shift_size else None)
+
+        def forward(self, x):              # (B, H, W, C)
+            B, H, W, C = x.shape
+            shortcut = x
+            x = self.norm1(x)
+            if self.shift_size:
+                x = torch.roll(x, (-self.shift_size, -self.shift_size),
+                               dims=(1, 2))
+            xw = window_partition(x, self.window_size)
+            xw = xw.view(-1, self.window_area, C)
+            aw = self.attn(xw, mask=self.attn_mask)
+            aw = aw.view(-1, self.window_size, self.window_size, C)
+            x = window_reverse(aw, self.window_size, H, W)
+            if self.shift_size:
+                x = torch.roll(x, (self.shift_size, self.shift_size),
+                               dims=(1, 2))
+            x = shortcut + x
+            return x + self.mlp(self.norm2(x))
 
     class PatchMerging(nn.Module):
-        pass
+        """timm 0.9.2 PatchMerging: 2x2 concat in (r0c0, r1c0, r0c1, r1c1)
+        channel-block order, norm(4C), bias-free reduction. The reduction's
+        reparam must CREATE its bias (linear.py:607-609; test_quant.py:116-117
+        materializes it at load time)."""
+
+        def __init__(self, dim, out_dim):
+            super().__init__()
+            self.norm = nn.LayerNorm(4 * dim)
+            self.reduction = nn.Linear(4 * dim, out_dim, bias=False)
+
+        def forward(self, x):              # (B, H, W, C)
+            B, H, W, C = x.shape
+            x = x.reshape(B, H // 2, 2, W // 2, 2, C).permute(
+                0, 1, 3, 4, 2, 5).flatten(3)
+            return self.reduction(self.norm(x))
 
     def window_partition(x, ws):
         B, H, W, C = x.shape
@@ -222,6 +336,86 @@ def make_tiny_timm_vit(img=16, patch=8, dim=32, depth=2, heads=2,
     with torch.no_grad():
         m.cls_token.normal_(0, 0.5)
         m.pos_embed.normal_(0, 0.5)
+    return m
+
+
+def make_tiny_timm_swin(img=32, patch=4, embed_dim=16, depths=(2, 2),
+                        heads=(2, 4), window=4, classes=10, seed=0):
+    """A timm-0.9.2-structured torch Swin: module paths and state-dict keys
+    match what the reference wrap_net walks (layers.N.blocks.M.attn.qkv,
+    downsample.{norm,reduction}, mlp.fc1/fc2, head.fc) AND what our
+    load_swin reads. Stage 0 contains a SHIFTED block (res 8 > window 4);
+    stage 1 opens with PatchMerging (timm 0.9 stages downsample first)."""
+    import torch
+    import torch.nn as nn
+
+    install_fake_timm()
+    swm = sys.modules["timm.models.swin_transformer"]
+
+    class SwinPatchEmbed(nn.Module):
+        def __init__(self, in_chans, dim, p):
+            super().__init__()
+            self.proj = nn.Conv2d(in_chans, dim, p, stride=p)
+            self.norm = nn.LayerNorm(dim)
+
+        def forward(self, x):              # NCHW -> NHWC
+            return self.norm(self.proj(x).permute(0, 2, 3, 1))
+
+    class SwinStage(nn.Module):
+        def __init__(self, in_dim, out_dim, depth, num_heads, res, ws,
+                     downsample):
+            super().__init__()
+            self.downsample = (swm.PatchMerging(in_dim, out_dim)
+                               if downsample else nn.Identity())
+            blocks = []
+            for j in range(depth):
+                # timm _calc_window_shift: no shift when res <= window
+                shift = 0 if res <= ws else (0 if j % 2 == 0 else ws // 2)
+                blocks.append(swm.SwinTransformerBlock(
+                    out_dim, num_heads, res, ws, shift))
+            self.blocks = nn.Sequential(*blocks)
+
+        def forward(self, x):
+            return self.blocks(self.downsample(x))
+
+    class SwinHead(nn.Module):
+        def __init__(self, dim, n):
+            super().__init__()
+            self.fc = nn.Linear(dim, n)
+
+        def forward(self, x):              # (B, H, W, C) avg-pool + fc
+            return self.fc(x.mean(dim=(1, 2)))
+
+    class TinySwin(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = SwinPatchEmbed(3, embed_dim, patch)
+            stages = []
+            res = img // patch
+            for i, d in enumerate(depths):
+                in_dim = embed_dim * (2 ** max(i - 1, 0))
+                out_dim = embed_dim * (2 ** i)
+                ws = min(window, res)
+                stages.append(SwinStage(in_dim, out_dim, d, heads[i], res,
+                                        ws, downsample=(i > 0)))
+                if i + 1 < len(depths):
+                    res //= 2
+            self.layers = nn.Sequential(*stages)
+            self.norm = nn.LayerNorm(embed_dim * (2 ** (len(depths) - 1)))
+            self.head = SwinHead(embed_dim * (2 ** (len(depths) - 1)),
+                                 classes)
+
+        def forward(self, x):
+            h = self.patch_embed(x)
+            h = self.layers(h)
+            return self.head(self.norm(h))
+
+    torch.manual_seed(seed)
+    m = TinySwin()
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, swm.WindowAttention):
+                mod.relative_position_bias_table.normal_(0, 0.5)
     return m
 
 

@@ -31,25 +31,36 @@ class TinySpec:
     cfg = CFG
 
 
-class RefCfg:
+def make_ref_cfg(bits: int):
     """The reference Config surface consumed by wrap_modules_in_net."""
-    w_bit = 4
-    a_bit = 4
-    s_bit = 4
-    qhead_a_bit = 4
-    qconv_a_bit = 8
-    calib_batch_size = 8
-    search_round = 3
-    eq_n = 32
-    fpcs = True
-    steps = 6
-    matmul_head_channel_wise = True
-    post_softmax_quantizer = "adalog"
-    post_gelu_quantizer = "adalog"
+    class RefCfg:
+        w_bit = bits
+        a_bit = bits
+        s_bit = bits
+        qhead_a_bit = bits
+        qconv_a_bit = 8
+        calib_batch_size = 8
+        search_round = 3
+        # >= 64 keeps the width-32 joint (scale, q) FPCS non-degenerate
+        # (see test_ref_differential.py::test_postgelu_adalog_vs_reference)
+        eq_n = 64
+        fpcs = True
+        steps = 6
+        matmul_head_channel_wise = True
+        post_softmax_quantizer = "adalog"
+        post_gelu_quantizer = "adalog"
+    return RefCfg
+
+
+RefCfg = make_ref_cfg(4)
 
 
 @pytest.mark.slow
-def test_full_pipeline_vs_reference(rng):
+@pytest.mark.parametrize("bits", [4, 3, 6])
+def test_full_pipeline_vs_reference(rng, bits):
+    """Parametrized over the three shipped bit widths (configs/{3,4,6}bit.py):
+    3-bit stresses the zp grid num_zp=min(16, n_levels)=4 and the AdaLog
+    table at n_levels=4; 6-bit the fine-grid end."""
     ref = load_reference_full()
     tm = make_tiny_timm_vit(IMG, PATCH, DIM, DEPTH, HEADS, CLASSES, seed=0)
     import torch
@@ -64,7 +75,7 @@ def test_full_pipeline_vs_reference(rng):
         with torch.no_grad():
             fp_ref = tm(torch.tensor(
                 val_np.transpose(0, 3, 1, 2))).numpy()
-        ref.wrap_net.wrap_modules_in_net(tm, RefCfg, reparam=True)
+        ref.wrap_net.wrap_modules_in_net(tm, make_ref_cfg(bits), reparam=True)
         loader = [(torch.tensor(calib_np.transpose(0, 3, 1, 2)),
                    torch.zeros(8))]
         ref.calibrator.QuantCalibrator(tm, loader).batching_quant_calib()
@@ -78,8 +89,8 @@ def test_full_pipeline_vs_reference(rng):
 
     # ---- our pipeline, same weights/data ----
     params = load_vit(CFG, sd)
-    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4, eq_n=32,
-                 search_round=3, steps=6)
+    cfg = Config(w_bit=bits, a_bit=bits, s_bit=bits, qhead_a_bit=bits,
+                 eq_n=64, search_round=3, steps=6)
     calib = QuantCalibrator(TinySpec, params, cfg)
     params_q, qstate = calib.calibrate([calib_np])
     params_q, qstate = calib.finish_calibration()
@@ -102,8 +113,14 @@ def test_full_pipeline_vs_reference(rng):
     assert q_err_ours <= q_err_ref * 1.2 and q_err_ref <= q_err_ours * 1.2, \
         (q_err_ours, q_err_ref)
 
+    # at 3-bit the quantized tiny-net logits are heavily degraded (paper
+    # W3A3 calibrate-only top-1 collapses too, README.md:79-85), so argmax
+    # over near-tied random-init logits is noise-dominated — the q_err
+    # ratio above is the meaningful criterion there
+    floor = 0.55 if bits == 3 else 0.8
     agree = (our_logits.argmax(-1) == ref_logits.argmax(-1)).mean()
-    assert agree >= 0.8, (agree, our_logits.argmax(-1), ref_logits.argmax(-1))
+    assert agree >= floor, (agree, our_logits.argmax(-1),
+                            ref_logits.argmax(-1))
 
     # per-site spot checks: the AdaLog integer bases selected by both
     # pipelines at the post-softmax and fc2 sites
