@@ -42,20 +42,33 @@ def scan_image_folder(root: str) -> Tuple[List[str], List[int], List[str]]:
 
 def load_eval_image(path: str, img_size: int, crop_pct: float,
                     mean, std, interpolation: str = "bicubic") -> np.ndarray:
-    """timm eval transform: resize of the shorter side to
-    round(size/crop_pct), center crop, normalize. Returns (H, W, 3) float32."""
-    scale_size = int(round(img_size / crop_pct))
+    """timm eval transform, reproduced to the PIXEL:
+    Resize(floor(size/crop_pct)) -> CenterCrop(size) -> /255 -> normalize.
+
+    Exact integer semantics matter (a half-pixel difference silently shifts
+    every accuracy number):
+      - scale_size uses math.floor (timm transforms_factory.py
+        transforms_imagenet_eval: int(math.floor(img_size / crop_pct))) —
+        224/0.9 models resize to 248, NOT round()'s 249;
+      - the aspect side uses int() TRUNCATION (torchvision F.resize int-size
+        path: ``int(size * h / w)``);
+      - the center-crop offset uses Python round() (banker's) per
+        torchvision F.center_crop ``int(round((h - th) / 2.0))``.
+    Validated bit-for-bit on bundled real JPEGs (tests/test_transform_parity).
+    Returns (H, W, 3) float32."""
+    import math
+    scale_size = int(math.floor(img_size / crop_pct))
     img = Image.open(path).convert("RGB")
     w, h = img.size
     if w <= h:
-        nw, nh = scale_size, int(round(h * scale_size / w))
+        nw, nh = scale_size, int(h * scale_size / w)
     else:
-        nh, nw = scale_size, int(round(w * scale_size / h))
+        nh, nw = scale_size, int(w * scale_size / h)
     resample = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR,
                 "nearest": Image.NEAREST}[interpolation]
     img = img.resize((nw, nh), resample)
-    left = (nw - img_size) // 2
-    top = (nh - img_size) // 2
+    left = int(round((nw - img_size) / 2.0))
+    top = int(round((nh - img_size) / 2.0))
     img = img.crop((left, top, left + img_size, top + img_size))
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)

@@ -156,14 +156,17 @@ void resample_v(const float* in, int in_h, int w, const Coeffs& c,
 int preprocess_rgb(const std::vector<uint8_t>& rgb, int w, int h,
                    int out_size, double crop_pct, const float* mean,
                    const float* stdd, float* out) {
-  const int scale_size = static_cast<int>(std::lround(out_size / crop_pct));
+  // exact timm/torchvision integer semantics (see imagenet.py
+  // load_eval_image): floor for the scale size, truncation for the aspect
+  // side, half-to-even rounding for the crop offset
+  const int scale_size = static_cast<int>(std::floor(out_size / crop_pct));
   int nw, nh;
   if (w <= h) {
     nw = scale_size;
-    nh = static_cast<int>(std::lround(static_cast<double>(h) * scale_size / w));
+    nh = static_cast<int>(static_cast<double>(h) * scale_size / w);
   } else {
     nh = scale_size;
-    nw = static_cast<int>(std::lround(static_cast<double>(w) * scale_size / h));
+    nw = static_cast<int>(static_cast<double>(w) * scale_size / h);
   }
   Coeffs ch = precompute(w, nw);
   Coeffs cv = precompute(h, nh);
@@ -172,8 +175,10 @@ int preprocess_rgb(const std::vector<uint8_t>& rgb, int w, int h,
   std::vector<float> resized(static_cast<size_t>(nh) * nw * 3);
   resample_v(tmp.data(), h, nw, cv, nh, resized.data());
 
-  const int left = (nw - out_size) / 2;
-  const int top = (nh - out_size) / 2;
+  const int left =
+      static_cast<int>(std::nearbyint((nw - out_size) / 2.0));
+  const int top =
+      static_cast<int>(std::nearbyint((nh - out_size) / 2.0));
   if (left < 0 || top < 0) return -2;
   for (int y = 0; y < out_size; ++y) {
     const float* row = resized.data() +
