@@ -43,7 +43,8 @@ log = logging.getLogger("adalog_tpu")
 
 
 def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
-                      device_budget_bytes: int = None, names=None):
+                      device_budget_bytes: int = None, names=None,
+                      spill_dtype=None):
     """Run the raw model once per batch, capturing every quant site's I/O.
 
     Returns dict name -> tuple of concatenated arrays (inputs..., output).
@@ -57,6 +58,13 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
     single program returning the full 15-30 GB tap set both exceeds device
     memory and crashes XLA's remat pass at vit_large scale, while the extra
     forward FLOPs are negligible next to the searches.
+
+    ``spill_dtype`` (e.g. jnp.bfloat16) downcasts taps ON DEVICE before the
+    host transfer — only when spilling — halving the device<->host bytes that
+    dominate big-model wall-clock through the ~20 MB/s tunnel (vit_large:
+    ~1,230 s of 2,983 s, ROUND2_NOTES). Search still runs in fp32 (taps are
+    upcast after re-upload); selection drift is bounded by the spill-parity
+    differential (tests/test_calib_e2e.py) and the on-chip probe.
     """
     from functools import partial
 
@@ -98,12 +106,21 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
                      "spilling to host in %d passes/batch",
                      total / 2**30, device_budget_bytes / 2**30, len(groups))
 
+    @partial(jax.jit, static_argnames=("names",))
+    def run_group_cast(p, x, names=None):
+        taps = run_group(p, x, names)
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(spill_dtype), taps)
+
     per_batch = []
     for xb in batches:
         xb = jnp.asarray(xb)
         taps = {}
         for g in groups:
-            part = run_group(params, xb, g)
+            if spill and spill_dtype is not None:
+                part = run_group_cast(params, xb, g)
+            else:
+                part = run_group(params, xb, g)
             if spill:
                 part = jax.tree_util.tree_map(lambda a: np.asarray(a), part)
             taps.update(part)
@@ -145,11 +162,21 @@ class QuantCalibrator:
         self.resume_path = resume_path
         self._pending = {}
         self._folded = {}    # name -> (r, b) of resume-restored reparam folds
+        self._spill_dtype = (jnp.bfloat16 if getattr(
+            cfg, "capture_spill_dtype", "float32") == "bfloat16" else None)
         scoring.set_score_dtype(cfg.search_dtype)
         scoring.set_score_precision(getattr(cfg, "search_precision",
                                             "highest"))
 
+    def _dev_f32(self, x):
+        """Upcast a bf16 spill tap to fp32 ON DEVICE (the bf16 array is what
+        crosses the slow host<->device link; search math stays fp32)."""
+        if getattr(x, "dtype", None) == jnp.bfloat16:
+            return jnp.asarray(x).astype(jnp.float32)
+        return x
+
     def _shard_tokens(self, x, dim: int = 0):
+        x = self._dev_f32(x)
         if self.mesh is None:
             return x
         from adalog_tpu.parallel.mesh import shard_axis
@@ -417,6 +444,11 @@ class QuantCalibrator:
             self.params = tree_set(self.params, ssi.param_path, new_lin)
             x2r = rewrite_cached_input(x2, r, b)
             if spill:
+                # keep the stash in the spill dtype so the host copy and the
+                # re-upload stay half-size (second bf16 rounding is part of
+                # the measured spill-drift budget)
+                if self._spill_dtype is not None:
+                    x2r = x2r.astype(self._spill_dtype)
                 x2r = np.asarray(x2r)
             key2 = ("linear", x2r.shape, new_lin.w.shape, ssi.w_bits,
                     ssi.a_bits, ssi.n_V)
@@ -604,7 +636,7 @@ class QuantCalibrator:
             [nm for nm in self.layout if nm not in done]
         taps = capture_all_sites(self.spec, self.params, batches,
                                  self.cfg.capture_device_budget_bytes,
-                                 names=need)
+                                 names=need, spill_dtype=self._spill_dtype)
         log.info("capture: %d sites in %.1fs", len(taps), time.time() - t0)
         self._resume_apply(recs)
 

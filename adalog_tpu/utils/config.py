@@ -60,6 +60,13 @@ class Config:
     batch_group_bytes: int = 1 << 29
     eval_dtype: str = "float32"     # dtype of the quantized eval forward
     capture_device_budget_bytes: int = 8 << 30  # spill capture to host above this
+    # dtype of capture taps WHEN (and only when) they spill to host:
+    # 'bfloat16' halves the device<->host transfer that dominates big-model
+    # wall-clock through the tunnel (~1,230 s of vit_large's 2,983 s at
+    # fp32); searches still run in fp32 (taps upcast on device after
+    # re-upload). Selection drift vs fp32 capture is bounded by the spill
+    # differential (tests/test_calib_e2e.py) and the on-chip probe.
+    capture_spill_dtype: str = "float32"
     recon_iters: int = 20000
     recon_block_group: int = 4      # same-shape blocks trained concurrently (vmap)
     # iterations per jitted training segment: bounds the wall-clock of one

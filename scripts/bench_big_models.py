@@ -33,6 +33,9 @@ def main():
 
     model = os.environ.get("BIG_MODEL", "vit_large")
     cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    # BIG_SPILL_DTYPE=bfloat16 halves the host<->device spill transfers
+    cfg.capture_spill_dtype = os.environ.get("BIG_SPILL_DTYPE",
+                                             cfg.capture_spill_dtype)
     spec, params = build_model(model, seed=0)
     img = spec.cfg.img_size
 

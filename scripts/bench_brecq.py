@@ -71,6 +71,25 @@ def main():
     _ = np.asarray(jax.tree_util.tree_leaves(params)[-1])
     t_recon = time.time() - t1
 
+    # finish (post-GeLU bias fold), save the optimized checkpoint, reload it
+    # and validate the reconstructed model on the calib set (quantized output
+    # must track the FP32 model; reference flow test_quant.py:228-240)
+    calib.params, calib.qstate = params, dict(qstate)
+    params, qstate = calib.finish_calibration()
+    from adalog_tpu.utils.checkpoint import (save_checkpoint, load_checkpoint,
+                                             checkpoint_name)
+    from adalog_tpu.models.zoo import model_forward_fn
+    ck = "/tmp/" + checkpoint_name(model, cfg, "optimize")
+    save_checkpoint(ck, params, qstate)
+    p2, q2, _ = load_checkpoint(ck)
+    fwd = model_forward_fn(spec)
+    xb = jax.numpy.asarray(calib_batches[0])
+    y_raw = np.asarray(fwd(spec.cfg, params_full, xb))
+    y_q = np.asarray(fwd(spec.cfg, p2, xb, q2, {"*": "quant"}))
+    rel = float(np.linalg.norm(y_q - y_raw) / np.linalg.norm(y_raw))
+    print(f"BRECQ_VALIDATE {model}: reloaded-checkpoint quant-vs-raw rel err "
+          f"{rel:.4f} on the calib set", flush=True)
+
     print(f"BRECQ_RESULT {model}: calib {t_calib:.1f}s + recon {t_recon:.1f}s "
           f"(iters={cfg.recon_iters}, optim_size={cfg.optim_size})",
           flush=True)

@@ -76,6 +76,51 @@ def test_capture_spill_matches_device(rng):
             np.testing.assert_allclose(np.asarray(a), c, rtol=1e-6, atol=1e-6)
 
 
+def test_capture_spill_bf16_dtype_and_accuracy(rng):
+    """bf16 spill taps are actually bf16 on host (the halved-transfer claim)
+    and equal the fp32 taps to bf16 rounding."""
+    import jax.numpy as jnp
+    import ml_dtypes
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    b = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    f32 = capture_all_sites(TinySpec, params, [b], device_budget_bytes=1)
+    bf16 = capture_all_sites(TinySpec, params, [b], device_budget_bytes=1,
+                             spill_dtype=jnp.bfloat16)
+    for nm in f32:
+        for a, c in zip(f32[nm], bf16[nm]):
+            assert c.dtype == ml_dtypes.bfloat16
+            np.testing.assert_allclose(np.asarray(a),
+                                       np.asarray(c, np.float32),
+                                       rtol=8e-3, atol=8e-3)
+
+
+def test_spill_bf16_calibration_drift(rng):
+    """Full calibration with forced spill, fp32 vs bf16 taps: the quantized
+    models must be equally good approximations of FP32 (the drift bound the
+    vit_large wall-clock optimization relies on)."""
+    from adalog_tpu.utils.config import Config
+    from adalog_tpu.calib.calibrator import QuantCalibrator
+    from adalog_tpu.models.vit import vit_forward
+
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    x = np.asarray(batches[0])
+
+    outs = {}
+    for sd in ("float32", "bfloat16"):
+        cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4, eq_n=32,
+                     steps=2, search_round=1, capture_device_budget_bytes=1,
+                     capture_spill_dtype=sd)
+        calib = QuantCalibrator(TinySpec, params, cfg)
+        calib.calibrate(batches)
+        p, q = calib.finish_calibration()
+        outs[sd] = np.asarray(vit_forward(CFG, p, x, q, {"*": "quant"}))
+    y_raw = np.asarray(vit_forward(CFG, params, x))
+    e32 = np.linalg.norm(outs["float32"] - y_raw)
+    e16 = np.linalg.norm(outs["bfloat16"] - y_raw)
+    assert e16 <= e32 * 1.10, (e16, e32)
+
+
 def test_swin_384_geometry():
     spec = model_spec("swin_base_384")
     cfg = spec.cfg
