@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""fq_attn kernel vs plain-XLA roofline at real model shapes (VERDICT item 8).
+
+Isolated microbench of the post-softmax AV matmul (AdaLog A at scale 1,
+uniform B): the Pallas kernel vs the XLA path (quantize ops + batched matmul,
+which XLA fuses). Run at deit_small / vit_large / swin_base window shapes.
+
+  nohup python scripts/profile_fq_attn.py > /tmp/profile_fq_attn.log 2>&1 &
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SHAPES = {
+    # (batch, heads, S, head_dim)
+    "deit_small_224": (32, 6, 197, 64),
+    "vit_large_224": (8, 16, 577, 64),
+    "swin_base_384_win": (256, 32, 144, 32),   # nW*B windows, deep stage
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from adalog_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from adalog_tpu.ops import fq_attn
+    from adalog_tpu.quantizers.state import QuantizerState
+    from adalog_tpu.quantizers.apply import apply_quantizer
+    from adalog_tpu.models.layers import MatMulSite
+
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+    results = {}
+    for name, (N, H, S, D) in SHAPES.items():
+        if N * H * S * D * 4 > 3 << 30:
+            print(f"{name}: skipped (too large for one microbench buffer)")
+            continue
+        logits = rng.standard_normal((N, H, S, S)).astype(np.float32)
+        A = np.exp(logits - logits.max(-1, keepdims=True))
+        A = (A / A.sum(-1, keepdims=True)).astype(np.float32)
+        B = rng.standard_normal((N, H, S, D)).astype(np.float32)
+        Aq = QuantizerState(scale=jnp.ones((1, 1, 1, 1), jnp.float32),
+                            log_q=jnp.asarray(25.0), kind="adalog", bits=4)
+        Bq = QuantizerState(scale=jnp.full((1, H, 1, 1), 0.05, jnp.float32),
+                            zero_point=jnp.full((1, H, 1, 1), 8.0,
+                                                jnp.float32),
+                            kind="uniform", bits=4, symmetric=False)
+        site = MatMulSite(Aq=Aq, Bq=Bq)
+
+        for dtype in (jnp.float32, jnp.bfloat16):
+            Ad = jnp.asarray(A, dtype)
+            Bd = jnp.asarray(B, dtype)
+
+            @jax.jit
+            def xla_path(a, b):
+                a_q = apply_quantizer(site.Aq, a.astype(jnp.float32))
+                b_q = apply_quantizer(site.Bq, b.astype(jnp.float32))
+                return jnp.matmul(a_q.astype(dtype), b_q.astype(dtype),
+                                  preferred_element_type=jnp.float32)
+
+            @jax.jit
+            def pallas_path(a, b):
+                return fq_attn.run(site, a, b)
+
+            for label, fn in (("xla", xla_path), ("pallas", pallas_path)):
+                try:
+                    out = fn(Ad, Bd)
+                    np.asarray(out[0, 0, 0, :1])          # compile+sync
+                    t0 = time.time()
+                    iters = 20
+                    for _ in range(iters):
+                        out = fn(Ad, Bd)
+                    np.asarray(out[0, 0, 0, :1])
+                    dt = (time.time() - t0) / iters
+                    tflops = 2 * N * H * S * S * D / dt / 1e12
+                    key = f"{name}/{np.dtype(dtype).name}/{label}"
+                    results[key] = round(tflops, 2)
+                    print(f"{key}: {dt*1e3:.2f} ms  {tflops:.2f} TFLOP/s",
+                          flush=True)
+                except Exception as e:
+                    print(f"{name}/{np.dtype(dtype).name}/{label} failed: "
+                          f"{type(e).__name__}: {e}", flush=True)
+    print("FQATTN_RESULT " + json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
