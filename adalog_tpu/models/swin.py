@@ -196,12 +196,19 @@ def swin_window_attention(ap: WindowAttentionP, qstate, prefix: str, x, heads,
         nW = mask.shape[0]
         attn = attn.reshape(-1, nW, heads, N, N) + mask[None, :, None]
         attn = attn.reshape(-1, heads, N, N)
-    attn = jax.nn.softmax(attn, axis=-1)
-
     nm = f"{prefix}.matmul2"
-    out = qmatmul(site_of(qstate, nm), attn, v, mode=mode_of(modes, nm),
-                  training=training)
-    _tap(taps, nm, attn, v, out)
+    m2_site, m2_mode = site_of(qstate, nm), mode_of(modes, nm)
+    if taps is None and not training and m2_site is not None:
+        # eval fast path: softmax + AdaLog quant + AV matmul in one Pallas
+        # kernel (see vit.py) — logits already carry rel-pos bias and mask
+        from adalog_tpu.ops import fq_attn
+        if fq_attn.supports_softmax(m2_site, m2_mode):
+            out = fq_attn.run_softmax(m2_site, attn, v)
+            attn = None
+    if attn is not None:
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = qmatmul(m2_site, attn, v, mode=m2_mode, training=training)
+        _tap(taps, nm, attn, v, out)
     out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
 
     nm = f"{prefix}.proj"

@@ -122,12 +122,20 @@ def vit_attention(cfg: ViTConfig, ap: AttentionP, qstate, prefix: str, x,
                    training=training)
     _tap(taps, nm, q, kT, attn)
     attn = attn * (hd ** -0.5)
-    attn = jax.nn.softmax(attn, axis=-1)
 
     nm = f"{prefix}.matmul2"
-    out = qmatmul(site_of(qstate, nm), attn, v, mode=mode_of(modes, nm),
-                  training=training)
-    _tap(taps, nm, attn, v, out)
+    m2_site, m2_mode = site_of(qstate, nm), mode_of(modes, nm)
+    if taps is None and not training and m2_site is not None:
+        # eval fast path: softmax + AdaLog quant + AV matmul in one Pallas
+        # kernel — the post-softmax (B, H, N, N) tensor never touches HBM
+        from adalog_tpu.ops import fq_attn
+        if fq_attn.supports_softmax(m2_site, m2_mode):
+            out = fq_attn.run_softmax(m2_site, attn, v)
+            attn = None
+    if attn is not None:
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = qmatmul(m2_site, attn, v, mode=m2_mode, training=training)
+        _tap(taps, nm, attn, v, out)
     out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
 
     nm = f"{prefix}.proj"

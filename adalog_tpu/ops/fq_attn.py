@@ -1,11 +1,22 @@
-"""Pallas TPU kernel: fused fake-quant attention A@B (softmax·V).
+"""Pallas TPU kernels: fused fake-quant attention A@B (softmax·V).
 
 The post-softmax matmul quantizes A with the AdaLog log quantizer (scale
 frozen at 1.0, searched base q) and B (the values) with a per-head asymmetric
-uniform quantizer (reference matmul.py:286-378). This kernel fuses both
-quantizers into the batched matmul: per (batch·head) program, the A and B
-tiles are quantized in VMEM (VPU: log2/exp2 for the AdaLog decomposition) and
-fed straight to the MXU — no quantized copies round-trip through HBM.
+uniform quantizer (reference matmul.py:286-378). These kernels fuse both
+quantizers into the batched matmul: the A and B tiles are quantized in VMEM
+(VPU: log2/exp2 for the AdaLog decomposition) and fed straight to the MXU —
+no quantized copies round-trip through HBM.
+
+Two grid-level optimizations over the round-2 kernel (VERDICT r2 item 8):
+
+* **G-blocking** — one program handles ``block_g`` (batch·head) slices instead
+  of one, amortizing per-program dispatch overhead (192 tiny programs at
+  deit_small underutilized the MXU).
+* **Fused softmax** (``fq_softmax_attn_matmul``) — the row softmax runs
+  in-kernel on the attention logits, so the post-softmax (N, H, S, S) tensor
+  is never written to or read from HBM. The unfused XLA pipeline pays
+  write(A) + read(A) over the largest tensor in the attention block; XLA
+  cannot fuse a softmax into a matmul operand, a Pallas kernel can.
 
 Also handles the q@kT site (both operands uniform) via kind='uniform'.
 """
@@ -22,6 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from adalog_tpu.quantizers.logarithm import ADALOG_R
 
 INTERPRET = False
+
+VMEM_BUDGET = 10 * 1024 * 1024   # headroom under the ~16 MB/core VMEM
 
 
 def _uq(x, s, z, bits):
@@ -45,20 +58,72 @@ def _adalog_unit(x, q, bits):
 
 
 def _kernel(ap_ref, bp_ref, a_ref, b_ref, out_ref, *, a_kind: str,
-            a_bits: int, b_bits: int, compute_dtype):
-    g = pl.program_id(0)
-    a = a_ref[0].astype(jnp.float32)
-    b = b_ref[0].astype(jnp.float32)
-    if a_kind == "adalog":
-        a_q = _adalog_unit(a, ap_ref[g, 0], a_bits)
-    else:
-        a_q = _uq(a, ap_ref[g, 0], ap_ref[g, 1], a_bits)
-    b_q = _uq(b, bp_ref[g, 0], bp_ref[g, 1], b_bits)
-    out_ref[0] = jax.lax.dot(
-        a_q.astype(compute_dtype), b_q.astype(compute_dtype),
-        precision=(None if compute_dtype == jnp.bfloat16
-                   else jax.lax.Precision.HIGHEST),
-        preferred_element_type=jnp.float32)
+            a_bits: int, b_bits: int, compute_dtype, block_g: int,
+            do_softmax: bool):
+    base = pl.program_id(0) * block_g
+    for i in range(block_g):
+        g = base + i
+        a = a_ref[i].astype(jnp.float32)
+        if do_softmax:
+            m = jnp.max(a, axis=-1, keepdims=True)
+            e = jnp.exp(a - m)
+            a = e / jnp.sum(e, axis=-1, keepdims=True)
+        if a_kind == "adalog":
+            a_q = _adalog_unit(a, ap_ref[g, 0], a_bits)
+        else:
+            a_q = _uq(a, ap_ref[g, 0], ap_ref[g, 1], a_bits)
+        b_q = _uq(b_ref[i].astype(jnp.float32), bp_ref[g, 0], bp_ref[g, 1],
+                  b_bits)
+        out_ref[i] = jax.lax.dot(
+            a_q.astype(compute_dtype), b_q.astype(compute_dtype),
+            precision=(None if compute_dtype == jnp.bfloat16
+                       else jax.lax.Precision.HIGHEST),
+            preferred_element_type=jnp.float32)
+
+
+def _pick_block_g(G: int, S: int, K: int, C: int, itemsize: int) -> int:
+    """Largest divisor of G whose double-buffered block tiles fit in VMEM."""
+    per_slice = (S * K + K * C + S * C) * max(itemsize, 4)
+    cap = max(1, VMEM_BUDGET // (2 * per_slice))
+    best = 1
+    for d in range(1, min(16, cap, G) + 1):
+        if G % d == 0:
+            best = d
+    return best
+
+
+def _attn_call(A, B, a_params, b_params, *, a_kind: str, a_bits: int,
+               b_bits: int, do_softmax: bool):
+    G, S, K = A.shape
+    C = B.shape[-1]
+    compute_dtype = A.dtype
+    gb = _pick_block_g(G, S, K, C, A.dtype.itemsize)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, a_kind=a_kind, a_bits=a_bits,
+                          b_bits=b_bits, compute_dtype=compute_dtype,
+                          block_g=gb, do_softmax=do_softmax),
+        grid=(G // gb,),
+        in_specs=[
+            # whole (G, 2) scalar tables live in SMEM (blocked SMEM specs are
+            # rejected by the TPU lowering); the kernel indexes by program_id
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, S, K), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, K, C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, S, C), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, S, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * S * K * C,
+            bytes_accessed=(G * S * K + G * K * C + G * S * C) * 4,
+            transcendentals=G * S * K * (1 + int(do_softmax))
+            if (a_kind == "adalog" or do_softmax) else 0),
+        interpret=INTERPRET,
+    )(a_params, b_params, A, B)
 
 
 @functools.partial(jax.jit, static_argnames=("a_kind", "a_bits", "b_bits"))
@@ -71,34 +136,22 @@ def fq_attn_matmul(A, B, a_params, b_params, *, a_kind: str, a_bits: int,
     For a_kind='adalog', a_params[:, 0] holds the log base q (scale is 1.0).
     Returns (G, S, C) float32.
     """
-    G, S, K = A.shape
-    C = B.shape[-1]
-    compute_dtype = A.dtype
+    return _attn_call(A, B, a_params, b_params, a_kind=a_kind, a_bits=a_bits,
+                      b_bits=b_bits, do_softmax=False)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, a_kind=a_kind, a_bits=a_bits,
-                          b_bits=b_bits, compute_dtype=compute_dtype),
-        grid=(G,),
-        in_specs=[
-            # whole (G, 2) scalar tables live in SMEM (blocked SMEM specs are
-            # rejected by the TPU lowering); the kernel indexes by program_id
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S, K), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, C), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, S, C), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, S, C), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * G * S * K * C,
-            bytes_accessed=(G * S * K + G * K * C + G * S * C) * 4,
-            transcendentals=G * S * K if a_kind == "adalog" else 0),
-        interpret=INTERPRET,
-    )(a_params, b_params, A, B)
-    return out
+
+@functools.partial(jax.jit, static_argnames=("a_bits", "b_bits"))
+def fq_softmax_attn_matmul(L, B, a_params, b_params, *, a_bits: int,
+                           b_bits: int):
+    """softmax(L) -> AdaLog fake-quant -> @ fake-quant(B), all fused.
+
+    L: (G, S, K) pre-softmax attention logits (scale/bias/mask already
+    applied); the row softmax runs in-kernel, so the post-softmax tensor
+    never touches HBM. AdaLog A only (the shipped post-softmax default,
+    matmul.py:306-319); log2/logsqrt2 sites fall back to the XLA path.
+    """
+    return _attn_call(L, B, a_params, b_params, a_kind="adalog",
+                      a_bits=a_bits, b_bits=b_bits, do_softmax=True)
 
 
 def _head_params(qs, H: int):
@@ -124,13 +177,39 @@ def supports(site, mode: str) -> bool:
     return Aq.kind in ("uniform", "adalog")
 
 
+def supports_softmax(site, mode: str) -> bool:
+    """Fused-softmax variant: AdaLog A at frozen scale 1.0 only."""
+    from adalog_tpu.ops.fq_gemm import enabled
+    if not enabled() or mode != "quant":
+        return False
+    Aq, Bq = site.Aq, site.Bq
+    return (Aq.kind == "adalog" and Aq.bits != 32 and not Aq.shifted
+            and Bq.kind == "uniform" and Bq.bits != 32)
+
+
+def _flat_params(site, N: int, H: int):
+    ap = jnp.tile(_head_params(site.Aq, H), (N, 1))
+    bp = jnp.tile(_head_params(site.Bq, H), (N, 1))
+    return ap, bp
+
+
 def run(site, A, B):
     """Dispatch a 4D (N, H, S, K) attention matmul through the fused kernel."""
     N, H, S, K = A.shape
     C = B.shape[-1]
-    ap = jnp.tile(_head_params(site.Aq, H), (N, 1))
-    bp = jnp.tile(_head_params(site.Bq, H), (N, 1))
+    ap, bp = _flat_params(site, N, H)
     out = fq_attn_matmul(
         A.reshape(N * H, S, K), B.reshape(N * H, K, C), ap, bp,
         a_kind=site.Aq.kind, a_bits=site.Aq.bits, b_bits=site.Bq.bits)
     return out.reshape(N, H, S, C).astype(A.dtype)
+
+
+def run_softmax(site, L, B):
+    """Dispatch 4D logits (N, H, S, S) through the fused softmax+AV kernel."""
+    N, H, S, K = L.shape
+    C = B.shape[-1]
+    ap, bp = _flat_params(site, N, H)
+    out = fq_softmax_attn_matmul(
+        L.reshape(N * H, S, K), B.reshape(N * H, K, C), ap, bp,
+        a_bits=site.Aq.bits, b_bits=site.Bq.bits)
+    return out.reshape(N, H, S, C).astype(L.dtype)

@@ -57,6 +57,7 @@ def main():
         for dtype in (jnp.float32, jnp.bfloat16):
             Ad = jnp.asarray(A, dtype)
             Bd = jnp.asarray(B, dtype)
+            Ld = jnp.asarray(logits, dtype)
 
             @jax.jit
             def xla_path(a, b):
@@ -69,14 +70,34 @@ def main():
             def pallas_path(a, b):
                 return fq_attn.run(site, a, b)
 
-            for label, fn in (("xla", xla_path), ("pallas", pallas_path)):
+            # full eval-pipeline comparison from the pre-softmax logits: the
+            # fused kernel never materializes the post-softmax tensor in HBM
+            @jax.jit
+            def xla_sm_path(l, b):
+                a = jax.nn.softmax(l.astype(jnp.float32), axis=-1)
+                a_q = apply_quantizer(site.Aq, a)
+                b_q = apply_quantizer(site.Bq, b.astype(jnp.float32))
+                return jnp.matmul(a_q.astype(dtype), b_q.astype(dtype),
+                                  preferred_element_type=jnp.float32)
+
+            @jax.jit
+            def pallas_sm_path(l, b):
+                return fq_attn.run_softmax(site, l, b)
+
+            for label, fn in (("xla", xla_path), ("pallas", pallas_path),
+                              ("xla+sm", None), ("pallas+sm", None)):
+                if label.endswith("+sm"):
+                    fn = xla_sm_path if label == "xla+sm" else pallas_sm_path
+                    args = (Ld, Bd)
+                else:
+                    args = (Ad, Bd)
                 try:
-                    out = fn(Ad, Bd)
+                    out = fn(*args)
                     np.asarray(out[0, 0, 0, :1])          # compile+sync
                     t0 = time.time()
                     iters = 20
                     for _ in range(iters):
-                        out = fn(Ad, Bd)
+                        out = fn(*args)
                     np.asarray(out[0, 0, 0, :1])
                     dt = (time.time() - t0) / iters
                     tflops = 2 * N * H * S * S * D / dt / 1e12

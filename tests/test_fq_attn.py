@@ -55,3 +55,24 @@ def test_fused_matches_unfused(rng, post_softmax):
     got = fq_attn.run(site, A, B)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("heads", [3, 4])
+def test_fused_softmax_matches_unfused(rng, heads):
+    """softmax fused in-kernel == XLA softmax -> quant -> matmul.
+
+    heads=4 makes G=8 exercise the G-blocked grid (block_g > 1)."""
+    N, S, C = 2, 16, 8
+    L = jnp.asarray(rng.standard_normal((N, heads, S, S)).astype(np.float32))
+    B = jnp.asarray(rng.standard_normal((N, heads, S, C)).astype(np.float32))
+    site = _site(rng, heads, post_softmax=True)
+    assert fq_attn.supports_softmax(site, "quant") or \
+        jax.default_backend() != "tpu"
+
+    A = jax.nn.softmax(L, axis=-1)
+    want = jnp.matmul(apply_quantizer(site.Aq, A),
+                      apply_quantizer(site.Bq, B),
+                      precision=jax.lax.Precision.HIGHEST)
+    got = fq_attn.run_softmax(site, L, B)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
