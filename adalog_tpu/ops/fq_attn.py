@@ -44,6 +44,14 @@ def _uq(x, s, z, bits):
     return (q - zr) * s
 
 
+def _exp2_neg_int(f):
+    """2**(-f) for small non-negative integer-valued float f, via exponent
+    bit assembly — one VPU shift instead of a transcendental. Exact (both
+    forms produce the same power of two), so interpret-mode CI covers it."""
+    biased = (127 - f.astype(jnp.int32)) << 23
+    return jax.lax.bitcast_convert_type(biased, jnp.float32)
+
+
 def _adalog_unit(x, q, bits):
     """AdaLog fake quant at scale 1.0 (post-softmax A: x in [0, 1])."""
     N = 2 ** (bits - 1)
@@ -54,25 +62,25 @@ def _adalog_unit(x, q, bits):
     prod = code * q
     ts = 1.0 / (4 * N - 2)
     mant = jnp.round(jnp.exp2(-jnp.remainder(prod, ADALOG_R) / ADALOG_R) / ts) * ts
-    return jnp.exp2(-jnp.floor(prod / ADALOG_R)) * mant * keep
+    # floor(prod/R) <= (2N-1)*q/R < 127 at every shipped bit width, so the
+    # bit-assembled 2**-int stays normal
+    return _exp2_neg_int(jnp.floor(prod / ADALOG_R)) * mant * keep
 
 
 def _kernel(ap_ref, bp_ref, a_ref, b_ref, out_ref, *, a_kind: str,
             a_bits: int, b_bits: int, compute_dtype, block_g: int,
             do_softmax: bool):
-    base = pl.program_id(0) * block_g
     for i in range(block_g):
-        g = base + i
         a = a_ref[i].astype(jnp.float32)
         if do_softmax:
             m = jnp.max(a, axis=-1, keepdims=True)
             e = jnp.exp(a - m)
             a = e / jnp.sum(e, axis=-1, keepdims=True)
         if a_kind == "adalog":
-            a_q = _adalog_unit(a, ap_ref[g, 0], a_bits)
+            a_q = _adalog_unit(a, ap_ref[i, 0], a_bits)
         else:
-            a_q = _uq(a, ap_ref[g, 0], ap_ref[g, 1], a_bits)
-        b_q = _uq(b_ref[i].astype(jnp.float32), bp_ref[g, 0], bp_ref[g, 1],
+            a_q = _uq(a, ap_ref[i, 0], ap_ref[i, 1], a_bits)
+        b_q = _uq(b_ref[i].astype(jnp.float32), bp_ref[i, 0], bp_ref[i, 1],
                   b_bits)
         out_ref[i] = jax.lax.dot(
             a_q.astype(compute_dtype), b_q.astype(compute_dtype),
@@ -105,10 +113,13 @@ def _attn_call(A, B, a_params, b_params, *, a_kind: str, a_bits: int,
                           block_g=gb, do_softmax=do_softmax),
         grid=(G // gb,),
         in_specs=[
-            # whole (G, 2) scalar tables live in SMEM (blocked SMEM specs are
-            # rejected by the TPU lowering); the kernel indexes by program_id
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # (G, 2) scalar tables ride along as blocked VMEM slices — SMEM
+            # pads each row to a full word line, so a whole-array SMEM table
+            # blows the 1 MB SMEM budget at swin's G=8192 windows
+            pl.BlockSpec((gb, 2), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 2), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, S, K), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, K, C), lambda g: (g, 0, 0),
@@ -167,8 +178,23 @@ def _head_params(qs, H: int):
     return jnp.stack([p0, vec(qs.zero_point)], axis=1)
 
 
+# independent switch: the attention kernels can win (fused softmax keeps the
+# (N,H,S,S) tensor out of HBM) where the linear fq_gemm kernels lose to XLA,
+# so eval can enable just these. fq_gemm's switch still implies this one.
+_ENABLED = False
+
+
+def set_enabled(flag: bool):
+    global _ENABLED
+    _ENABLED = bool(flag)
+
+
+def enabled() -> bool:
+    from adalog_tpu.ops import fq_gemm
+    return (_ENABLED or fq_gemm._ENABLED) and jax.default_backend() == "tpu"
+
+
 def supports(site, mode: str) -> bool:
-    from adalog_tpu.ops.fq_gemm import enabled
     if not enabled() or mode != "quant":
         return False
     Aq, Bq = site.Aq, site.Bq
@@ -179,7 +205,6 @@ def supports(site, mode: str) -> bool:
 
 def supports_softmax(site, mode: str) -> bool:
     """Fused-softmax variant: AdaLog A at frozen scale 1.0 only."""
-    from adalog_tpu.ops.fq_gemm import enabled
     if not enabled() or mode != "quant":
         return False
     Aq, Bq = site.Aq, site.Bq

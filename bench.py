@@ -150,14 +150,20 @@ def main():
                        {"*": "quant"}).astype(jnp.float32)
         return f
 
-    from adalog_tpu.ops import fq_gemm, int8_linear
+    from adalog_tpu.ops import fq_attn, fq_gemm, int8_linear
     x = jnp.asarray(rng.standard_normal((128, 224, 224, 3)).astype(np.float32))
-    for name, dtype, pallas, int8 in [("fp32", jnp.float32, False, False),
-                                      ("bf16", jnp.bfloat16, False, False),
-                                      ("bf16+pallas", jnp.bfloat16, True, False),
-                                      ("int8", jnp.float32, False, True),
-                                      ("int8+bf16", jnp.bfloat16, False, True)]:
+    # bf16+fqattn: only the attention kernels (fused softmax+quant+AV) — the
+    # linear fq_gemm kernels lose to XLA at these shapes, the attention ones
+    # can win, so they carry an independent switch
+    for name, dtype, pallas, attn, int8 in [
+            ("fp32", jnp.float32, False, False, False),
+            ("bf16", jnp.bfloat16, False, False, False),
+            ("bf16+pallas", jnp.bfloat16, True, False, False),
+            ("bf16+fqattn", jnp.bfloat16, False, True, False),
+            ("int8", jnp.float32, False, False, True),
+            ("int8+bf16", jnp.bfloat16, False, False, True)]:
         fq_gemm.set_enabled(pallas)
+        fq_attn.set_enabled(attn)
         int8_linear.set_enabled(int8)
         f = make_eval(dtype)
         try:
@@ -173,6 +179,7 @@ def main():
             log(f"quant eval ({name}) failed: {type(e).__name__}: {e}")
         finally:
             fq_gemm.set_enabled(False)
+            fq_attn.set_enabled(False)
             int8_linear.set_enabled(False)
 
     result = {

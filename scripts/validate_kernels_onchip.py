@@ -102,6 +102,24 @@ def main():
                       precision=jax.lax.Precision.HIGHEST)
     results["fq_attn uniform fp32"] = float(jnp.max(jnp.abs(got - want)))
 
+    # fused-softmax variant: softmax runs in-kernel on the logits
+    got = fq_attn.fq_softmax_attn_matmul(logits, B, ap, bp, a_bits=BITS,
+                                         b_bits=BITS)
+    want = jnp.matmul(adalog(A, 29.0, BITS), uq(B, 0.11, 9.0, BITS),
+                      precision=jax.lax.Precision.HIGHEST)
+    results["fq_attn softmax-fused fp32"] = float(jnp.max(jnp.abs(got - want)))
+
+    Lb = logits.astype(jnp.bfloat16)
+    Bb16 = B.astype(jnp.bfloat16)
+    got = fq_attn.fq_softmax_attn_matmul(Lb, Bb16, ap, bp, a_bits=BITS,
+                                         b_bits=BITS)
+    want = jnp.matmul(
+        adalog(jax.nn.softmax(Lb.astype(jnp.float32), axis=-1), 29.0, BITS
+               ).astype(jnp.bfloat16),
+        uq(Bb16.astype(jnp.float32), 0.11, 9.0, BITS).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    results["fq_attn softmax-fused bf16"] = float(jnp.max(jnp.abs(got - want)))
+
     # bf16 attention path (bench eval uses bf16+pallas); the kernel sees the
     # bf16-rounded operands, so the XLA reference must quantize those too
     Ab, Bb = A.astype(jnp.bfloat16), B.astype(jnp.bfloat16)
@@ -115,7 +133,11 @@ def main():
 
     ok = True
     for name, diff in results.items():
-        tol = 0.05 if "bf16" in name else 2e-4
+        # softmax-fused: the in-kernel VPU softmax may differ from XLA's by
+        # ulps, and AdaLog code rounding can amplify a boundary ulp into one
+        # full quant-step flip on isolated elements — hence the looser bar.
+        tol = (0.05 if "bf16" in name
+               else 0.02 if "softmax" in name else 2e-4)
         status = "OK" if diff <= tol else "FAIL"
         ok &= diff <= tol
         print(f"{name}: max|diff| = {diff:.3e}  [{status}]")
