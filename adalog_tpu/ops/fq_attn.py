@@ -67,20 +67,22 @@ def _adalog_unit(x, q, bits):
     return _exp2_neg_int(jnp.floor(prod / ADALOG_R)) * mant * keep
 
 
-def _kernel(ap_ref, bp_ref, a_ref, b_ref, out_ref, *, a_kind: str,
-            a_bits: int, b_bits: int, compute_dtype, block_g: int,
-            do_softmax: bool):
+def _kernel(ap0_ref, ap1_ref, bp0_ref, bp1_ref, a_ref, b_ref, out_ref, *,
+            a_kind: str, a_bits: int, b_bits: int, compute_dtype,
+            block_g: int, do_softmax: bool):
+    base = pl.program_id(0) * block_g
     for i in range(block_g):
+        g = base + i
         a = a_ref[i].astype(jnp.float32)
         if do_softmax:
             m = jnp.max(a, axis=-1, keepdims=True)
             e = jnp.exp(a - m)
             a = e / jnp.sum(e, axis=-1, keepdims=True)
         if a_kind == "adalog":
-            a_q = _adalog_unit(a, ap_ref[i, 0], a_bits)
+            a_q = _adalog_unit(a, ap0_ref[g], a_bits)
         else:
-            a_q = _uq(a, ap_ref[i, 0], ap_ref[i, 1], a_bits)
-        b_q = _uq(b_ref[i].astype(jnp.float32), bp_ref[i, 0], bp_ref[i, 1],
+            a_q = _uq(a, ap0_ref[g], ap1_ref[g], a_bits)
+        b_q = _uq(b_ref[i].astype(jnp.float32), bp0_ref[g], bp1_ref[g],
                   b_bits)
         out_ref[i] = jax.lax.dot(
             a_q.astype(compute_dtype), b_q.astype(compute_dtype),
@@ -113,13 +115,16 @@ def _attn_call(A, B, a_params, b_params, *, a_kind: str, a_bits: int,
                           block_g=gb, do_softmax=do_softmax),
         grid=(G // gb,),
         in_specs=[
-            # (G, 2) scalar tables ride along as blocked VMEM slices — SMEM
-            # pads each row to a full word line, so a whole-array SMEM table
-            # blows the 1 MB SMEM budget at swin's G=8192 windows
-            pl.BlockSpec((gb, 2), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 2), lambda g: (g, 0),
-                         memory_space=pltpu.VMEM),
+            # per-G scalars as four whole-array 1-D SMEM vectors, indexed by
+            # program id in-kernel. 2-D SMEM tables pad every row to a full
+            # line (f32[8192,2] wanted 4 MB against the 1 MB SMEM budget at
+            # swin's G=8192 windows); 1-D arrays don't pay that padding, and
+            # blocked VMEM specs can't carry a (gb, 2) slice (the sublane dim
+            # must be a multiple of 8).
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((gb, S, K), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, K, C), lambda g: (g, 0, 0),
@@ -134,7 +139,7 @@ def _attn_call(A, B, a_params, b_params, *, a_kind: str, a_bits: int,
             transcendentals=G * S * K * (1 + int(do_softmax))
             if (a_kind == "adalog" or do_softmax) else 0),
         interpret=INTERPRET,
-    )(a_params, b_params, A, B)
+    )(a_params[:, 0], a_params[:, 1], b_params[:, 0], b_params[:, 1], A, B)
 
 
 @functools.partial(jax.jit, static_argnames=("a_kind", "a_bits", "b_bits"))
