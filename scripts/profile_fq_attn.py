@@ -96,7 +96,7 @@ def main():
                     def body(_, carry):
                         acc, a = carry
                         out = fn(a, b)
-                        acc = acc + out[0, 0, 0].astype(jnp.float32)
+                        acc = acc + out[0, 0, 0, 0].astype(jnp.float32)
                         a = a + (acc * 1e-30).astype(a.dtype)
                         return (acc, a)
                     acc, _ = jax.lax.fori_loop(
