@@ -191,6 +191,9 @@ def main(args):
             log.info("data-parallel mesh over %d devices: %s", n, mesh)
 
     if cfg.use_pallas:
+        from adalog_tpu.ops import fq_attn
+        fq_attn.set_enabled(True)
+    if getattr(cfg, "use_pallas_gemm", False):
         from adalog_tpu.ops import fq_gemm
         fq_gemm.set_enabled(True)
     if cfg.eval_int8:

@@ -73,7 +73,11 @@ class Config:
     # device execution (multi-minute monolithic scans crash the tunneled
     # worker); the carry is donated between segments
     recon_seg_iters: int = 1000
-    use_pallas: bool = True     # use Pallas TPU kernels where available
+    use_pallas: bool = True     # Pallas fused attention kernels (measured
+    #   win over the XLA pipeline at every shipped attention shape; the
+    #   fused softmax+quant+AV kernel keeps the (B,H,S,S) tensor out of HBM)
+    use_pallas_gemm: bool = False   # Pallas fused linear GEMM kernels —
+    #   measured SLOWER than XLA's own fusion at ViT shapes; opt-in
     eval_int8: bool = False     # true-int8 MXU GEMMs for uniform Linear sites
 
     @classmethod
