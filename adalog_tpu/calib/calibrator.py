@@ -290,12 +290,25 @@ class QuantCalibrator:
         return dict(eq_n=c.eq_n, steps=c.steps, use_fpcs=c.fpcs)
 
     def _do_conv(self, name, ss: SiteSpec, x, y):
-        x, y = self._shard_tokens(x), self._shard_tokens(y)
         p = tree_get(self.params, ss.param_path)
+        if getattr(self.cfg, "batch_sites", True):
+            # defer like the other families so same-shape conv sites batch
+            # (every shipped zoo model has a single patch-embed conv, so the
+            # group is a singleton there and flushes through search_conv)
+            key = ("conv", x.shape, p.w.shape, ss.w_bits, ss.a_bits)
+            self._pending.setdefault(key, []).append((name, ss, x, y, p))
+            return
+        self._search_conv_now(name, ss, x, y, p)
+
+    def _search_conv_now(self, name, ss, x, y, p):
+        x, y = self._shard_tokens(x), self._shard_tokens(y)
         kh, kw = p.w.shape[2], p.w.shape[3]
         w_s, w_z = SRCH.search_conv(
             x, y, p.w, p.b, w_bits=ss.w_bits,
             conv_dims=(kh, kw, p.stride[0], p.padding[0]), **self._common())
+        self._set_conv_state(name, ss, w_s, w_z)
+
+    def _set_conv_state(self, name, ss, w_s, w_z):
         self.qstate[name] = ConvSite(
             wq=WeightQuantizerState(scale=w_s, zero_point=w_z,
                                     bits=ss.w_bits, symmetric=False),
@@ -364,6 +377,7 @@ class QuantCalibrator:
         w_s, w_z, a_s, a_z = SRCH.search_linear_default(
             x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
             rounds=self.cfg.search_round, gram=self.cfg.w_search_gram,
+            a_gram=getattr(self.cfg, "a_search_gram", False),
             **self._common())
         self._set_linear_state(name, ss, w_s, w_z, a_s, a_z)
 
@@ -466,6 +480,12 @@ class QuantCalibrator:
         if key[0] in ("matmul", "matmul_post"):
             self._flush_matmul_group(key, jobs, t1)
             return
+        if key[0] == "conv":
+            self._flush_conv_group(jobs, t1)
+            return
+        if key[0] == "postgelu_twin":
+            self._flush_twin_group(jobs, t1)
+            return
         postgelu = key[0] == "postgelu"
         common = dict(w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
                       rounds=self.cfg.search_round,
@@ -479,8 +499,10 @@ class QuantCalibrator:
                     x2, y2, p.w, p.b, shift, **common)
                 self._set_postgelu_state(name, ss, *res)
             else:
-                res = SRCH.search_linear_default(x2, y2, p.w, p.b,
-                                                 **common)
+                res = SRCH.search_linear_default(
+                    x2, y2, p.w, p.b,
+                    a_gram=getattr(self.cfg, "a_search_gram", False),
+                    **common)
                 self._set_linear_state(name, ss, *res)
         else:
             # sites vmap over axis 0; the token axis (1) is dp-sharded
@@ -497,13 +519,66 @@ class QuantCalibrator:
                                              a_s[i], q[i])
             else:
                 w_s, w_z, a_s, a_z = SRCH.search_linear_default_batched(
-                    xs, ys, ws, bs, **common)
+                    xs, ys, ws, bs,
+                    a_gram=getattr(self.cfg, "a_search_gram", False),
+                    **common)
                 for i, (name, ssi, _, _, _) in enumerate(jobs):
                     self._set_linear_state(name, ssi, w_s[i], w_z[i],
                                            a_s[i], a_z[i])
         self._resume_append(self._site_records([j[0] for j in jobs]))
         log.info("searched %d x %-30s [batched] in %.2fs",
                  len(jobs), jobs[0][0], time.time() - t1)
+
+    def _flush_conv_group(self, jobs, t1):
+        if len(jobs) == 1:
+            name, ss, x, y, p = jobs[0]
+            self._search_conv_now(name, ss, x, y, p)
+        else:
+            ss = jobs[0][1]
+            p0 = jobs[0][4]
+            kh, kw = p0.w.shape[2], p0.w.shape[3]
+            xs = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
+            ys = self._shard_tokens(jnp.stack([j[3] for j in jobs]), dim=1)
+            ws = jnp.stack([j[4].w for j in jobs])
+            bs = jnp.stack([j[4].b for j in jobs])
+            w_s, w_z = SRCH.search_conv_batched(
+                xs, ys, ws, bs, w_bits=ss.w_bits,
+                conv_dims=(kh, kw, p0.stride[0], p0.padding[0]),
+                **self._common())
+            for i, (name, ssi, _, _, _) in enumerate(jobs):
+                self._set_conv_state(name, ssi, w_s[i], w_z[i])
+        self._resume_append(self._site_records([j[0] for j in jobs]))
+        log.info("searched %d x %-30s [batched] in %.2fs",
+                 len(jobs), jobs[0][0], time.time() - t1)
+
+    def _flush_twin_group(self, jobs, t1):
+        ss = jobs[0][1]
+        common = dict(w_bits=ss.w_bits, a_bits=ss.a_bits, n_V=ss.n_V,
+                      rounds=self.cfg.search_round, **self._common())
+        if len(jobs) == 1:
+            name, ss, x2, y2, p = jobs[0]
+            x2, y2 = self._shard_tokens(x2), self._shard_tokens(y2)
+            w_s, w_z, s_pos, s_neg = SRCH.search_linear_postgelu_twin(
+                x2, y2, p.w, p.b, **common)
+            self._set_twin_state(name, ss, w_s, w_z, s_pos, s_neg)
+        else:
+            xs = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
+            ys = self._shard_tokens(jnp.stack([j[3] for j in jobs]), dim=1)
+            ws = jnp.stack([j[4].w for j in jobs])
+            bs = jnp.stack([j[4].b for j in jobs])
+            w_s, w_z, s_pos, s_neg = SRCH.search_linear_postgelu_twin_batched(
+                xs, ys, ws, bs, **common)
+            for i, (name, ssi, _, _, _) in enumerate(jobs):
+                self._set_twin_state(name, ssi, w_s[i], w_z[i],
+                                     s_pos[i], s_neg[i])
+        self._resume_append(self._site_records([j[0] for j in jobs]))
+        log.info("searched %d x %-30s [batched] in %.2fs",
+                 len(jobs), jobs[0][0], time.time() - t1)
+
+    def _set_twin_state(self, name, ss, w_s, w_z, s_pos, s_neg):
+        aq = QuantizerState(scale=jnp.stack([s_pos, s_neg]),
+                            kind="twin", bits=ss.a_bits)
+        self.qstate[name] = self._linear_site(ss, w_s, w_z, aq)
 
     def _flush_matmul_group(self, key, jobs, t1):
         ss = jobs[0][1]
@@ -517,8 +592,9 @@ class QuantCalibrator:
             As = self._shard_tokens(jnp.stack([j[2] for j in jobs]), dim=1)
             Bs = self._shard_tokens(jnp.stack([j[3] for j in jobs]), dim=1)
             ys = self._shard_tokens(jnp.stack([j[4] for j in jobs]), dim=1)
-            A_s, A_z, B_s, B_z = SRCH.search_matmul_batched(As, Bs, ys,
-                                                            **common)
+            A_s, A_z, B_s, B_z = SRCH.search_matmul_batched(
+                As, Bs, ys, gram=getattr(self.cfg, "a_search_gram", False),
+                **common)
             for i, (name, ssi, _, _, _) in enumerate(jobs):
                 Aq = QuantizerState(scale=A_s[i], zero_point=A_z[i],
                                     kind="uniform", bits=ssi.s_bits,
@@ -542,6 +618,13 @@ class QuantCalibrator:
         p = tree_get(self.params, ss.param_path)
         x2, y2 = _flat2d(x), _flat2d(y)
         if ss.kind == "postgelu_twin":
+            if getattr(self.cfg, "batch_sites", True) and p.b is not None:
+                if isinstance(y, np.ndarray) and not isinstance(x2, np.ndarray):
+                    x2 = np.asarray(x2)
+                key = ("postgelu_twin", x2.shape, p.w.shape, ss.w_bits,
+                       ss.a_bits, ss.n_V)
+                self._pending.setdefault(key, []).append((name, ss, x2, y2, p))
+                return
             x2, y2 = self._shard_tokens(x2), self._shard_tokens(y2)
             w_s, w_z, s_pos, s_neg = SRCH.search_linear_postgelu_twin(
                 x2, y2, p.w, p.b, w_bits=ss.w_bits, a_bits=ss.a_bits,
@@ -601,7 +684,9 @@ class QuantCalibrator:
         if ss.kind == "matmul":
             A_s, A_z, B_s, B_z = SRCH.search_matmul(
                 A, B, y, A_bits=ss.s_bits, B_bits=ss.a_bits,
-                rounds=self.cfg.search_round, head_cw=hcw, **self._common())
+                rounds=self.cfg.search_round, head_cw=hcw,
+                gram=getattr(self.cfg, "a_search_gram", False),
+                **self._common())
             Aq = QuantizerState(scale=A_s, zero_point=A_z, kind="uniform",
                                 bits=ss.s_bits, symmetric=False)
         else:

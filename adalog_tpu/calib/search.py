@@ -107,7 +107,8 @@ def _wq(w_v, scale_u, zp_u, bits):
 
 def _linear_default_impl(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
                          eq_n: int, steps: int, rounds: int, use_fpcs: bool,
-                         gram: bool = False, mem_scale: int = 1):
+                         gram: bool = False, a_gram: bool = False,
+                         mem_scale: int = 1):
     """Default asymmetric Linear search (linear.py:525-545), untraced body.
 
     x: (T, I) flattened input; y: (T, O) raw output; w: (O, I); b: (O,)|None.
@@ -155,10 +156,18 @@ def _linear_default_impl(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
                 mem_scale).reshape(eq_n, V * R)
         w_s, w_z = fpcs(w_score, ws0, wz0, eq_n=eq_n, steps=st)
         w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
-        a_s, a_z = fpcs(
-            lambda s, z: S.score_linear_a_out(x, tgt, w_q2, s, z, a_bits,
-                                              mem_scale)[:, None],
-            as0, az0, eq_n=eq_n, steps=st, clamp_min=1e-4)
+        if a_gram and O > I:
+            # Gram form only pays off where out_features > in_features
+            # (qkv/fc1/head); the O-vs-I gate is static, so fc2/proj keep the
+            # direct scorer inside the same traced program
+            Mw, Gw = S.act_gram_stats(tgt, w_q2)
+            a_score = lambda s, z: S.score_linear_a_out_gram(
+                x, Mw, Gw, s, z, a_bits, mem_scale)[:, None]
+        else:
+            a_score = lambda s, z: S.score_linear_a_out(
+                x, tgt, w_q2, s, z, a_bits, mem_scale)[:, None]
+        a_s, a_z = fpcs(a_score, as0, az0, eq_n=eq_n, steps=st,
+                        clamp_min=1e-4)
         return (w_s, w_z, a_s, a_z), None
 
     (w_s, w_z, a_s, a_z), _ = lax.scan(
@@ -168,20 +177,21 @@ def _linear_default_impl(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
 
 
 @partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
-                                   "rounds", "use_fpcs", "gram"))
+                                   "rounds", "use_fpcs", "gram", "a_gram"))
 def search_linear_default(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
                           eq_n: int, steps: int, rounds: int, use_fpcs: bool,
-                          gram: bool = False):
+                          gram: bool = False, a_gram: bool = False):
     return _linear_default_impl(x, y, w, b, w_bits=w_bits, a_bits=a_bits,
                                 n_V=n_V, eq_n=eq_n, steps=steps, rounds=rounds,
-                                use_fpcs=use_fpcs, gram=gram)
+                                use_fpcs=use_fpcs, gram=gram, a_gram=a_gram)
 
 
 @partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
-                                   "rounds", "use_fpcs", "gram"))
+                                   "rounds", "use_fpcs", "gram", "a_gram"))
 def search_linear_default_batched(xs, ys, ws, bs, *, w_bits: int, a_bits: int,
                                   n_V: int, eq_n: int, steps: int, rounds: int,
-                                  use_fpcs: bool, gram: bool = False):
+                                  use_fpcs: bool, gram: bool = False,
+                                  a_gram: bool = False):
     """Layer-batched default Linear search: all L same-shape sites (e.g. every
     block's qkv) searched in ONE vmapped program — per-site quantiles, FPCS
     schedules and alternating rounds run lockstep on the MXU, with the scoring
@@ -196,7 +206,7 @@ def search_linear_default_batched(xs, ys, ws, bs, *, w_bits: int, a_bits: int,
         return _linear_default_impl(x, y, w, b, w_bits=w_bits, a_bits=a_bits,
                                     n_V=n_V, eq_n=eq_n, steps=steps,
                                     rounds=rounds, use_fpcs=use_fpcs,
-                                    gram=gram, mem_scale=L)
+                                    gram=gram, a_gram=a_gram, mem_scale=L)
 
     return jax.vmap(one)(xs, ys, ws, bs)
 
@@ -352,12 +362,10 @@ def search_linear_postgelu_adalog_batched(xs, ys, ws, bs, shift, *,
     return jax.vmap(one)(xs, ys, ws, bs)
 
 
-@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
-                                   "rounds", "use_fpcs"))
-def search_linear_postgelu_twin(x, y, w, b, *, w_bits: int, a_bits: int,
-                                n_V: int, eq_n: int, steps: int, rounds: int,
-                                use_fpcs: bool):
-    """PTQ4ViT twin-uniform fc2 search (linear.py:697-721).
+def _postgelu_twin_impl(x, y, w, b, *, w_bits: int, a_bits: int, n_V: int,
+                        eq_n: int, steps: int, rounds: int, use_fpcs: bool,
+                        mem_scale: int = 1):
+    """PTQ4ViT twin-uniform fc2 search (linear.py:697-721), untraced body.
 
     Negative scale fixed at GELU_MIN/N (linear.py:653-657); positive scale
     searched over 2^i * neg_scale, i in [-5, 24] (linear.py:707-709).
@@ -376,8 +384,8 @@ def search_linear_postgelu_twin(x, y, w, b, *, w_bits: int, a_bits: int,
 
     ws0, wz0 = C.weight_candidates(w_v, w_bits, eq_n)
     w_s, w_z = fpcs(
-        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits
-                                         ).reshape(eq_n, V * R),
+        lambda s, z: S.score_weight_self(w_v, *exp_w(s, z), w_bits,
+                                         mem_scale).reshape(eq_n, V * R),
         ws0, wz0, eq_n=eq_n, steps=st)
 
     s_neg = jnp.asarray([GELU_MIN / N], jnp.float32)
@@ -389,20 +397,52 @@ def search_linear_postgelu_twin(x, y, w, b, *, w_bits: int, a_bits: int,
     def round_body(carry, _):
         w_s, w_z, s_pos = carry
         w_q2 = _wq(w_v, w_s, w_z, w_bits).reshape(O, I)
-        sims = S.score_linear_a_out_twin(x, tgt, w_q2, pos_grid, s_neg, a_bits)
+        sims = S.score_linear_a_out_twin(x, tgt, w_q2, pos_grid, s_neg,
+                                         a_bits, mem_scale)
         s_pos = pos_grid[jnp.argmax(sims)]
         x_pos = jnp.clip(jnp.round(x / s_pos), 0, N - 1) * s_pos
         x_neg = jnp.clip(jnp.round(x / s_neg), -N, 0) * s_neg
         x_q = x_pos + x_neg
         w_s, w_z = fpcs(
             lambda s, z: S.score_linear_w_out(x_q, tgt, w_v, *exp_w(s, z),
-                                              w_bits).reshape(eq_n, V * R),
+                                              w_bits,
+                                              mem_scale).reshape(eq_n, V * R),
             ws0, wz0, eq_n=eq_n, steps=st)
         return (w_s, w_z, s_pos), None
 
     (w_s, w_z, s_pos), _ = lax.scan(round_body, (w_s, w_z, s_pos), None,
                                     length=rounds)
     return (w_s.reshape(V, R, 1), w_z.reshape(V, R, 1), s_pos, s_neg)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs"))
+def search_linear_postgelu_twin(x, y, w, b, *, w_bits: int, a_bits: int,
+                                n_V: int, eq_n: int, steps: int, rounds: int,
+                                use_fpcs: bool):
+    return _postgelu_twin_impl(x, y, w, b, w_bits=w_bits, a_bits=a_bits,
+                               n_V=n_V, eq_n=eq_n, steps=steps, rounds=rounds,
+                               use_fpcs=use_fpcs)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "a_bits", "n_V", "eq_n", "steps",
+                                   "rounds", "use_fpcs"))
+def search_linear_postgelu_twin_batched(xs, ys, ws, bs, *, w_bits: int,
+                                        a_bits: int, n_V: int, eq_n: int,
+                                        steps: int, rounds: int,
+                                        use_fpcs: bool):
+    """Layer-batched twin fc2 search: all L same-shape twin sites (the
+    `post_gelu_quantizer='twin'` config) in one vmapped program (see
+    search_linear_default_batched)."""
+    L = xs.shape[0]
+
+    def one(x, y, w, b):
+        return _postgelu_twin_impl(x, y, w, b, w_bits=w_bits, a_bits=a_bits,
+                                   n_V=n_V, eq_n=eq_n, steps=steps,
+                                   rounds=rounds, use_fpcs=use_fpcs,
+                                   mem_scale=L)
+
+    return jax.vmap(one)(xs, ys, ws, bs)
 
 
 # ---------------------------------------------------------------------------
@@ -417,16 +457,21 @@ def _mm_expand(s2d, z2d, H, head_cw):
 
 def _matmul_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
                  rounds: int, use_fpcs: bool, head_cw: bool,
-                 mem_scale: int = 1):
+                 gram: bool = False, mem_scale: int = 1):
     """q@kT matmul search (matmul.py:264-283), untraced body.
 
     A: (N, H, S, C); B: (N, H, C, S2); y: (N, H, S, S2) raw product.
     Init both operands at the second-to-last percentile candidate, then
-    ``rounds`` of alternating A/B output-MSE FPCS.
-    Returns (A_scale, A_zp, B_scale, B_zp) each (1, H|1, 1, 1).
+    ``rounds`` of alternating A/B output-MSE FPCS. With ``gram``, candidate
+    scoring switches to the Gram form where the contraction dim C is smaller
+    than the dropped output dim (q@kT: S2/C ~ 3-4.5x fewer FLOPs/candidate);
+    the gates are static, so ungated shapes keep the direct scorer.
     """
     H = A.shape[1]
+    s_dim, c_dim, s2_dim = A.shape[2], A.shape[3], B.shape[3]
     U = H if head_cw else 1
+    a_gram = gram and s2_dim > c_dim
+    b_gram = gram and s_dim > c_dim
 
     As0, Az0 = C.matmul_candidates(A, B_bits, eq_n, head_channel_wise=head_cw)
     Bs0, Bz0 = C.matmul_candidates(B, B_bits, eq_n, head_channel_wise=head_cw)
@@ -440,19 +485,31 @@ def _matmul_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
     def round_body(carry, _):
         A_s, A_z, B_s, B_z = carry
         B_q = S.uq_asym(B, nat(B_s), nat(B_z), B_bits)
-        A_s, A_z = fpcs(
-            lambda s, z: S.score_matmul_opA(
+        if a_gram:
+            G_B, M = S.matmul_gram_stats_opA(B_q, y)
+            a_score = lambda s, z: S.score_matmul_opA_gram(
+                A, G_B, M, s2_dim, *_mm_expand(s, z, H, head_cw), A_bits,
+                head_channel_wise=head_cw, mem_scale=mem_scale
+                ).reshape(eq_n, U)
+        else:
+            a_score = lambda s, z: S.score_matmul_opA(
                 A, B_q, y, *_mm_expand(s, z, H, head_cw), A_bits,
                 head_channel_wise=head_cw, mem_scale=mem_scale
-                ).reshape(eq_n, U),
-            As0, Az0, eq_n=eq_n, steps=st)
+                ).reshape(eq_n, U)
+        A_s, A_z = fpcs(a_score, As0, Az0, eq_n=eq_n, steps=st)
         A_q = S.uq_asym(A, nat(A_s), nat(A_z), A_bits)
-        B_s, B_z = fpcs(
-            lambda s, z: S.score_matmul_opB(
+        if b_gram:
+            G_A, M2 = S.matmul_gram_stats_opB(A_q, y)
+            b_score = lambda s, z: S.score_matmul_opB_gram(
+                B, G_A, M2, s_dim, *_mm_expand(s, z, H, head_cw), B_bits,
+                head_channel_wise=head_cw, mem_scale=mem_scale
+                ).reshape(eq_n, U)
+        else:
+            b_score = lambda s, z: S.score_matmul_opB(
                 A_q, B, y, *_mm_expand(s, z, H, head_cw), B_bits,
                 head_channel_wise=head_cw, mem_scale=mem_scale
-                ).reshape(eq_n, U),
-            Bs0, Bz0, eq_n=eq_n, steps=st)
+                ).reshape(eq_n, U)
+        B_s, B_z = fpcs(b_score, Bs0, Bz0, eq_n=eq_n, steps=st)
         return (A_s, A_z, B_s, B_z), None
 
     (A_s, A_z, B_s, B_z), _ = lax.scan(round_body, (A_s, A_z, B_s, B_z),
@@ -461,19 +518,20 @@ def _matmul_impl(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
 
 
 @partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
-                                   "rounds", "use_fpcs", "head_cw"))
+                                   "rounds", "use_fpcs", "head_cw", "gram"))
 def search_matmul(A, B, y, *, A_bits: int, B_bits: int, eq_n: int, steps: int,
-                  rounds: int, use_fpcs: bool, head_cw: bool):
+                  rounds: int, use_fpcs: bool, head_cw: bool,
+                  gram: bool = False):
     return _matmul_impl(A, B, y, A_bits=A_bits, B_bits=B_bits, eq_n=eq_n,
                         steps=steps, rounds=rounds, use_fpcs=use_fpcs,
-                        head_cw=head_cw)
+                        head_cw=head_cw, gram=gram)
 
 
 @partial(jax.jit, static_argnames=("A_bits", "B_bits", "eq_n", "steps",
-                                   "rounds", "use_fpcs", "head_cw"))
+                                   "rounds", "use_fpcs", "head_cw", "gram"))
 def search_matmul_batched(As, Bs, ys, *, A_bits: int, B_bits: int, eq_n: int,
                           steps: int, rounds: int, use_fpcs: bool,
-                          head_cw: bool):
+                          head_cw: bool, gram: bool = False):
     """Layer-batched q@kT search: all L same-shape attention matmul sites in
     one vmapped program."""
     L = As.shape[0]
@@ -481,7 +539,7 @@ def search_matmul_batched(As, Bs, ys, *, A_bits: int, B_bits: int, eq_n: int,
     def one(A, B, y):
         return _matmul_impl(A, B, y, A_bits=A_bits, B_bits=B_bits, eq_n=eq_n,
                             steps=steps, rounds=rounds, use_fpcs=use_fpcs,
-                            head_cw=head_cw, mem_scale=L)
+                            head_cw=head_cw, gram=gram, mem_scale=L)
 
     return jax.vmap(one)(As, Bs, ys)
 
@@ -574,13 +632,11 @@ def search_matmul_postsoftmax_batched(As, Bs, ys, *, A_bits: int, B_bits: int,
 # Conv family
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("w_bits", "eq_n", "steps", "use_fpcs",
-                                   "conv_dims"))
-def search_conv(x, y, w, b, *, w_bits: int, eq_n: int, steps: int,
-                use_fpcs: bool, conv_dims):
-    """Patch-embed conv search (conv.py:313-334): weight-only (activations are
-    8-bit passthrough), a single output-MSE FPCS round with per-out-channel
-    candidates (num_zp = n_levels, conv.py:266).
+def _conv_impl(x, y, w, b, *, w_bits: int, eq_n: int, steps: int,
+               use_fpcs: bool, conv_dims, mem_scale: int = 1):
+    """Patch-embed conv search (conv.py:313-334), untraced body: weight-only
+    (activations are 8-bit passthrough), a single output-MSE FPCS round with
+    per-out-channel candidates (num_zp = n_levels, conv.py:266).
 
     x: (N, H, W, IC) NHWC; y: (N, FH, FW, OC); w: (OC, IC, KH, KW); b: (OC,).
     Returns (w_scale (OC, 1), w_zp (OC, 1)).
@@ -605,6 +661,33 @@ def search_conv(x, y, w, b, *, w_bits: int, eq_n: int, steps: int,
 
     w_s, w_z = fpcs(
         lambda s, z: S.score_conv_w_out(
-            x, tgt, w_flat, conv_dims, s[:, :, None], z[:, :, None], w_bits),
+            x, tgt, w_flat, conv_dims, s[:, :, None], z[:, :, None], w_bits,
+            mem_scale),
         ws0, wz0, eq_n=eq_n, steps=_steps(use_fpcs, steps))
     return w_s[:, None], w_z[:, None]
+
+
+@partial(jax.jit, static_argnames=("w_bits", "eq_n", "steps", "use_fpcs",
+                                   "conv_dims"))
+def search_conv(x, y, w, b, *, w_bits: int, eq_n: int, steps: int,
+                use_fpcs: bool, conv_dims):
+    return _conv_impl(x, y, w, b, w_bits=w_bits, eq_n=eq_n, steps=steps,
+                      use_fpcs=use_fpcs, conv_dims=conv_dims)
+
+
+@partial(jax.jit, static_argnames=("w_bits", "eq_n", "steps", "use_fpcs",
+                                   "conv_dims"))
+def search_conv_batched(xs, ys, ws, bs, *, w_bits: int, eq_n: int, steps: int,
+                        use_fpcs: bool, conv_dims):
+    """Layer-batched conv search: all L same-shape conv sites in one vmapped
+    program. Every shipped zoo model has exactly one conv (the patch embed),
+    so groups are singletons there — this exists for layouts with repeated
+    convs and for API parity with the other families."""
+    L = xs.shape[0]
+
+    def one(x, y, w, b):
+        return _conv_impl(x, y, w, b, w_bits=w_bits, eq_n=eq_n, steps=steps,
+                          use_fpcs=use_fpcs, conv_dims=conv_dims,
+                          mem_scale=L)
+
+    return jax.vmap(one)(xs, ys, ws, bs)

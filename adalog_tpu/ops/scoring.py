@@ -250,7 +250,50 @@ def score_linear_a_out(x, target, w_q, scales, zps, bits: int,
     return _map(one, (scales, zps), E, (T * O + x.size) * 4 * mem_scale)
 
 
-def score_linear_a_out_twin(x, target, w_q, scales_pos, scale_neg, bits: int):
+def act_gram_stats(target, w_q):
+    """Precompute (Mw, Gw) for the Gram-form ACTIVATION scoring.
+
+    Mw[t, i] = Σ_o target[t, o]·w_q[o, i] (T, I);  Gw = w_qᵀ w_q (I, I).
+    Computed once per round (w_q is fixed while activation candidates vary);
+    every candidate then scores in O(T·I²) instead of O(T·I·O) — a ~O/I-fold
+    FLOP cut at the sites where out_features > in_features (qkv 3x, fc1 4x,
+    head ~2.6x). Stats at HIGHEST like gram_stats: their cost is one direct
+    candidate eval, amortized over the whole FPCS grid.
+    """
+    Mw = jnp.matmul(target, w_q, precision=HIGHEST)
+    Gw = jnp.matmul(w_q.T, w_q, precision=HIGHEST)
+    return Mw, Gw
+
+
+def score_linear_a_out_gram(x, Mw, Gw, scales, zps, bits: int,
+                            mem_scale: int = 1):
+    """Gram-form activation-candidate scoring, ranking-equivalent to
+    score_linear_a_out:
+        -SSE(e) = -(Σtgt² - 2·Σ x_dq∘Mw + Σ (x_dq Gw)∘x_dq)
+                ≡ 2·Σ x_dq∘Mw - Σ (x_dq Gw)∘x_dq + const.
+    The constant target energy is dropped (cancels in the argmax over e).
+    """
+    E = scales.shape[0]
+
+    def one(c):
+        s, z = c
+        x_dq = uq_asym(x, s, z, bits)
+        term2 = jnp.sum(x_dq * Mw)
+        if _SCORE_DTYPE == jnp.bfloat16:
+            xG = jnp.matmul(x_dq.astype(jnp.bfloat16),
+                            Gw.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        else:
+            xG = jnp.matmul(x_dq, Gw, preferred_element_type=jnp.float32,
+                            precision=_SCORE_PRECISION)
+        term3 = jnp.sum(xG * x_dq)
+        return 2.0 * term2 - term3
+
+    return _map(one, (scales, zps), E, 2 * x.size * 4 * mem_scale)
+
+
+def score_linear_a_out_twin(x, target, w_q, scales_pos, scale_neg, bits: int,
+                            mem_scale: int = 1):
     """PTQ4ViT twin-range positive-scale scoring (linear.py:660-695).
 
     scales_pos: (E, 1); scale_neg: fixed (1,). similarity (E,).
@@ -265,7 +308,7 @@ def score_linear_a_out_twin(x, target, w_q, scales_pos, scale_neg, bits: int):
         out = _mm(x_pos + x_neg, w_q.T)
         return -jnp.sum(jnp.square(target - out))
 
-    return _map(one, scales_pos, E, (T * O + x.size) * 4)
+    return _map(one, scales_pos, E, (T * O + x.size) * 4 * mem_scale)
 
 
 def score_linear_a_out_adalog(x, target, w_q, shift, scales, qs, bits: int,
@@ -333,6 +376,97 @@ def score_matmul_opB(A_q, B, target, scales, zps, bits: int,
     return _map(one, (scales, zps), E, (target.size + B.size) * 4 * mem_scale)
 
 
+def _es(subs, a, b):
+    """Scoring einsum in the configured dtype, fp32 accumulate (einsum
+    analog of _mm for the batched-per-head gram contractions)."""
+    if _SCORE_DTYPE == jnp.bfloat16:
+        return jnp.einsum(subs, a.astype(jnp.bfloat16),
+                          b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum(subs, a, b, precision=_SCORE_PRECISION,
+                      preferred_element_type=jnp.float32)
+
+
+def _matmul_sim_gram(sse, denom, head_channel_wise: bool):
+    """sse: (N, H) per-slice SSE (up to the dropped target-energy constant)
+    -> (H,) or () with _matmul_sim's mean/sum ordering."""
+    sim = -sse / denom
+    if head_channel_wise:
+        return jnp.sum(sim, axis=0)
+    return jnp.sum(jnp.mean(sim, axis=1), axis=0)
+
+
+def matmul_gram_stats_opA(B_q, target):
+    """(G_B, M) for the Gram-form A-candidate matmul scoring.
+
+    B_q: (N, H, C, S2) quantized; target: (N, H, S, S2).
+    G_B[n,h] = B_q B_qᵀ (C, C);  M[n,h] = target·B_qᵀ (S, C).
+    Every A candidate then scores in O(S·C²) per slice instead of O(S·S2·C)
+    — an S2/C-fold FLOP cut (~3x at ViT head_dim 64, ~4.5x at Swin windows).
+    Stats at HIGHEST: their cost is one direct candidate eval, amortized
+    over the whole FPCS grid.
+    """
+    G = jnp.einsum("nhcs,nhds->nhcd", B_q, B_q, precision=HIGHEST)
+    M = jnp.einsum("nhst,nhct->nhsc", target, B_q, precision=HIGHEST)
+    return G, M
+
+
+def score_matmul_opA_gram(A, G_B, M, target_s2: int, scales, zps, bits: int,
+                          head_channel_wise: bool, mem_scale: int = 1):
+    """Gram-form A-candidate scoring, ranking-equivalent to score_matmul_opA:
+    per (n, h), SSE = tr(A_dqᵀA_dq · G_B) − 2⟨A_dq, M⟩ + const (dropped).
+    target_s2: the S2 extent of the dropped target (mean denominator)."""
+    E = scales.shape[0]
+    N, H, S, C = A.shape
+    denom = S * target_s2
+
+    def one(c):
+        s, z = c
+        A_dq = uq_asym(A, s, z, bits)
+        GA = _es("nhsc,nhsd->nhcd", A_dq, A_dq)
+        sse = (jnp.sum(GA * G_B, axis=(2, 3))
+               - 2.0 * jnp.sum(A_dq * M, axis=(2, 3)))          # (N, H)
+        return _matmul_sim_gram(sse, denom, head_channel_wise)
+
+    return _map(one, (scales, zps), E,
+                (A.size + N * H * C * C) * 4 * mem_scale)
+
+
+def matmul_gram_stats_opB(A_q, target):
+    """(G_A, M2) for the Gram-form B-candidate matmul scoring.
+
+    A_q: (N, H, S, C) quantized; target: (N, H, S, S2).
+    G_A[n,h] = A_qᵀ A_q (C, C);  M2[n,h] = A_qᵀ·target (C, S2).
+    Every B candidate then scores in O(C²·S2) per slice instead of
+    O(S·C·S2) — an S/C-fold FLOP cut.
+    """
+    G = jnp.einsum("nhsc,nhsd->nhcd", A_q, A_q, precision=HIGHEST)
+    M2 = jnp.einsum("nhsc,nhst->nhct", A_q, target, precision=HIGHEST)
+    return G, M2
+
+
+def score_matmul_opB_gram(B, G_A, M2, target_s: int, scales, zps, bits: int,
+                          head_channel_wise: bool, mem_scale: int = 1):
+    """Gram-form B-candidate scoring, ranking-equivalent to score_matmul_opB:
+    per (n, h), SSE = tr(B_dqᵀ·G_A·B_dq) − 2⟨B_dq, M2⟩ + const (dropped).
+    target_s: the S extent of the dropped target (for the mean denominator).
+    """
+    E = scales.shape[0]
+    N, H, C, S2 = B.shape
+    denom = target_s * S2
+
+    def one(c):
+        s, z = c
+        B_dq = uq_asym(B, s, z, bits)
+        GB = _es("nhcd,nhds->nhcs", G_A, B_dq)
+        sse = (jnp.sum(GB * B_dq, axis=(2, 3))
+               - 2.0 * jnp.sum(B_dq * M2, axis=(2, 3)))         # (N, H)
+        return _matmul_sim_gram(sse, denom, head_channel_wise)
+
+    return _map(one, (scales, zps), E,
+                (B.size + N * H * C * S2) * 4 * mem_scale)
+
+
 def score_postsoftmax_base(A, B_q, target, qs, bits: int,
                            mem_scale: int = 1):
     """AdaLog log-base (q) scoring for the post-softmax operand, scale frozen
@@ -351,7 +485,8 @@ def score_postsoftmax_base(A, B_q, target, qs, bits: int,
 # Conv search (patch-embed projection)
 # ---------------------------------------------------------------------------
 
-def score_conv_w_out(x, target, w_flat, conv_dims, scales, zps, bits: int):
+def score_conv_w_out(x, target, w_flat, conv_dims, scales, zps, bits: int,
+                     mem_scale: int = 1):
     """Weight-candidate scoring for conv (conv.py:233-264): per-out-channel SSE.
 
     x: (N, H, W, IC) NHWC (activations pass through unquantized at >=8 bits,
@@ -385,7 +520,7 @@ def score_conv_w_out(x, target, w_flat, conv_dims, scales, zps, bits: int):
             return -jnp.sum(jnp.mean(err2, axis=1), axis=0)
 
         return _map(one, (scales, zps), E,
-                    (target.size + w_flat.size) * 4)
+                    (target.size + w_flat.size) * 4 * mem_scale)
 
     def one(c):
         s, z = c
@@ -399,4 +534,4 @@ def score_conv_w_out(x, target, w_flat, conv_dims, scales, zps, bits: int):
         # mean over spatial dims, sum over batch -> per-out-channel (conv.py:256)
         return -jnp.sum(jnp.mean(jnp.square(target - out), axis=(1, 2)), axis=0)
 
-    return _map(one, (scales, zps), E, (target.size + w_flat.size) * 4)
+    return _map(one, (scales, zps), E, (target.size + w_flat.size) * 4 * mem_scale)

@@ -54,6 +54,13 @@ class Config:
     # (test_ref_differential.py gram variants). bf16 search_dtype measured
     # SLOWER on-chip (ROUND2_NOTES) and stays off.
     w_search_gram: bool = True
+    # Gram-form ACTIVATION scoring at sites where the dropped output extent
+    # exceeds the contraction dim: Linear with out_features > in_features
+    # (qkv 3x, fc1 4x, head ~2.6x fewer scoring FLOPs per candidate) and the
+    # q@kT matmul operand searches (S/head_dim ~ 3x at ViT, ~4.5x at Swin
+    # windows). Ungated shapes keep the direct scorer. Off until on-chip
+    # selection-drift + timing validation (scripts/probe_a_gram.py).
+    a_search_gram: bool = False
     batch_sites: bool = True        # layer-batched (vmapped) same-shape searches
     # stacked device bytes per vmapped site group; >1 GB groups crash the v5e
     # worker at vit_large shapes (ROUND2_NOTES), 512 MB measured safe
