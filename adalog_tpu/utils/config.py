@@ -58,8 +58,16 @@ class Config:
     # exceeds the contraction dim: Linear with out_features > in_features
     # (qkv 3x, fc1 4x, head ~2.6x fewer scoring FLOPs per candidate) and the
     # q@kT matmul operand searches (S/head_dim ~ 3x at ViT, ~4.5x at Swin
-    # windows). Ungated shapes keep the direct scorer. Off until on-chip
-    # selection-drift + timing validation (scripts/probe_a_gram.py).
+    # windows). Ungated shapes keep the direct scorer. On-chip probe
+    # (scripts/probe_a_gram.py, real deit_small, shipped W4A4 config): every
+    # integer AdaLog base selection identical (q_mismatch 0 in all six
+    # families), end-to-end quantized rel err 0.3029 vs 0.2996 (the same
+    # near-tie class as search_precision='default'); scale/zp leaves flip
+    # only on fp32 near-ties. Default OFF: bench.py median-of-3 measured the
+    # Gram form consistently ~4-5 s SLOWER at deit_small (35.0/34.4 s vs
+    # 30.0 s direct) — search execution there is dispatch/bandwidth-bound,
+    # not FLOP-bound, and the Gram assembly adds kernels. Opt in for big
+    # models where the per-candidate FLOP cut can dominate.
     a_search_gram: bool = False
     batch_sites: bool = True        # layer-batched (vmapped) same-shape searches
     # stacked device bytes per vmapped site group; >1 GB groups crash the v5e

@@ -143,9 +143,11 @@ def main():
     fwd = model_forward_fn(spec)
 
     def make_eval(dtype):
-        @jax.jit
+        # cast params eagerly (once) so the cast isn't re-traced inside the
+        # chained measurement loop below
+        p = jax.tree_util.tree_map(lambda a: a.astype(dtype), new_params)
+
         def f(x):
-            p = jax.tree_util.tree_map(lambda a: a.astype(dtype), new_params)
             return fwd(spec.cfg, p, x.astype(dtype), qstate,
                        {"*": "quant"}).astype(jnp.float32)
         return f
@@ -166,13 +168,28 @@ def main():
         fq_attn.set_enabled(attn)
         int8_linear.set_enabled(int8)
         f = make_eval(dtype)
+        iters = 10
+
+        # chain the iterations on-device: each iteration's input depends on
+        # the previous output, so XLA cannot hoist the forward out of the
+        # loop, and the relay's per-dispatch latency (~tens of ms — which
+        # made the round-2 per-call numbers dispatch-bound) is paid once for
+        # the whole measurement (pattern from scripts/profile_fq_attn.py)
+        @jax.jit
+        def chained(x0):
+            def body(_, carry):
+                acc, xc = carry
+                out = f(xc)
+                acc = acc + out[0, 0]
+                xc = x0 + (acc * 1e-30).astype(x0.dtype)
+                return (acc, xc)
+            acc, _ = jax.lax.fori_loop(0, iters, body,
+                                       (jnp.float32(0.0), x0))
+            return acc
         try:
-            _ = np.asarray(f(x)[:1])         # compile + sync
+            _ = np.asarray(chained(x))       # compile + sync
             t1 = time.time()
-            iters = 10
-            for _ in range(iters):
-                out = f(x)
-            _ = np.asarray(out[:1])          # sync through the tunnel
+            _ = np.asarray(chained(x))       # one dispatch, true execution
             ips = 128 * iters / (time.time() - t1)
             log(f"quant eval throughput ({name}): {ips:.0f} img/s")
         except Exception as e:               # pallas path is best-effort
