@@ -188,27 +188,44 @@ def swin_window_attention(ap: WindowAttentionP, qstate, prefix: str, x, heads,
 
     nm = f"{prefix}.matmul1"
     kT = jnp.swapaxes(k, -2, -1)
-    attn = qmatmul(site_of(qstate, nm), q, kT, mode=mode_of(modes, nm),
-                   training=training)
-    _tap(taps, nm, q, kT, attn)
-    attn = attn + ap.rel_pos_bias
-    if mask is not None:
-        nW = mask.shape[0]
-        attn = attn.reshape(-1, nW, heads, N, N) + mask[None, :, None]
-        attn = attn.reshape(-1, heads, N, N)
-    nm = f"{prefix}.matmul2"
-    m2_site, m2_mode = site_of(qstate, nm), mode_of(modes, nm)
-    if taps is None and not training and m2_site is not None:
-        # eval fast path: softmax + AdaLog quant + AV matmul in one Pallas
-        # kernel (see vit.py) — logits already carry rel-pos bias and mask
+    m1_site, m1_mode = site_of(qstate, nm), mode_of(modes, nm)
+    nm2 = f"{prefix}.matmul2"
+    m2_site, m2_mode = site_of(qstate, nm2), mode_of(modes, nm2)
+
+    out = attn = None
+    if taps is None and not training:
         from adalog_tpu.ops import fq_attn
-        if fq_attn.supports_softmax(m2_site, m2_mode):
-            out = fq_attn.run_softmax(m2_site, attn, v)
-            attn = None
+        if fq_attn.supports_flash(m1_site, m2_site, m1_mode, m2_mode):
+            # eval fast path (see vit.py): whole quantized window attention
+            # in one Pallas kernel; rel-pos bias (+ shifted-window mask)
+            # folds into a (P, N, N) additive logit bias with broadcast
+            # period P over the flattened (B, nW, heads) slices
+            bias = jnp.broadcast_to(ap.rel_pos_bias,
+                                    (1, heads, N, N))[0]       # (heads, N, N)
+            if mask is not None:
+                nW = mask.shape[0]
+                bias = (bias[None] + mask[:, None]).reshape(-1, N, N)
+            out = fq_attn.run_flash(m1_site, m2_site, q, kT, v,
+                                    logit_scale=1.0, bias=bias)
+    if out is None:
+        attn = qmatmul(m1_site, q, kT, mode=m1_mode, training=training)
+        _tap(taps, nm, q, kT, attn)
+        attn = attn + ap.rel_pos_bias
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(-1, nW, heads, N, N) + mask[None, :, None]
+            attn = attn.reshape(-1, heads, N, N)
+        if taps is None and not training and m2_site is not None:
+            # partial fast path: softmax + AdaLog quant + AV matmul fused —
+            # logits (already carrying bias and mask) remain an HBM operand
+            from adalog_tpu.ops import fq_attn
+            if fq_attn.supports_softmax(m2_site, m2_mode):
+                out = fq_attn.run_softmax(m2_site, attn, v)
+                attn = None
     if attn is not None:
         attn = jax.nn.softmax(attn, axis=-1)
         out = qmatmul(m2_site, attn, v, mode=m2_mode, training=training)
-        _tap(taps, nm, attn, v, out)
+        _tap(taps, nm2, attn, v, out)
     out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
 
     nm = f"{prefix}.proj"

@@ -118,24 +118,34 @@ def vit_attention(cfg: ViTConfig, ap: AttentionP, qstate, prefix: str, x,
 
     nm = f"{prefix}.matmul1"
     kT = jnp.swapaxes(k, -2, -1)
-    attn = qmatmul(site_of(qstate, nm), q, kT, mode=mode_of(modes, nm),
-                   training=training)
-    _tap(taps, nm, q, kT, attn)
-    attn = attn * (hd ** -0.5)
+    m1_site, m1_mode = site_of(qstate, nm), mode_of(modes, nm)
+    nm2 = f"{prefix}.matmul2"
+    m2_site, m2_mode = site_of(qstate, nm2), mode_of(modes, nm2)
 
-    nm = f"{prefix}.matmul2"
-    m2_site, m2_mode = site_of(qstate, nm), mode_of(modes, nm)
-    if taps is None and not training and m2_site is not None:
-        # eval fast path: softmax + AdaLog quant + AV matmul in one Pallas
-        # kernel — the post-softmax (B, H, N, N) tensor never touches HBM
+    out = attn = None
+    if taps is None and not training:
         from adalog_tpu.ops import fq_attn
-        if fq_attn.supports_softmax(m2_site, m2_mode):
-            out = fq_attn.run_softmax(m2_site, attn, v)
-            attn = None
+        if fq_attn.supports_flash(m1_site, m2_site, m1_mode, m2_mode):
+            # eval fast path: the whole quantized attention — uq(q) @ uq(kT)
+            # -> scale -> softmax -> AdaLog quant -> @ uq(v) — runs in one
+            # Pallas kernel; the (B, H, N, N) logits never touch HBM
+            out = fq_attn.run_flash(m1_site, m2_site, q, kT, v,
+                                    logit_scale=hd ** -0.5)
+    if out is None:
+        attn = qmatmul(m1_site, q, kT, mode=m1_mode, training=training)
+        _tap(taps, nm, q, kT, attn)
+        attn = attn * (hd ** -0.5)
+        if taps is None and not training and m2_site is not None:
+            # partial fast path: softmax + AdaLog quant + AV matmul fused
+            # (the logits are still an HBM operand)
+            from adalog_tpu.ops import fq_attn
+            if fq_attn.supports_softmax(m2_site, m2_mode):
+                out = fq_attn.run_softmax(m2_site, attn, v)
+                attn = None
     if attn is not None:
         attn = jax.nn.softmax(attn, axis=-1)
         out = qmatmul(m2_site, attn, v, mode=m2_mode, training=training)
-        _tap(taps, nm, attn, v, out)
+        _tap(taps, nm2, attn, v, out)
     out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
 
     nm = f"{prefix}.proj"

@@ -170,6 +170,119 @@ def fq_softmax_attn_matmul(L, B, a_params, b_params, *, a_bits: int,
                       a_bits=a_bits, b_bits=b_bits, do_softmax=True)
 
 
+def _flash_kernel(m1as_ref, m1az_ref, m1bs_ref, m1bz_ref, m2q_ref,
+                  m2bs_ref, m2bz_ref, *refs, m1a_bits: int, m1b_bits: int,
+                  m2a_bits: int, m2b_bits: int, compute_dtype, block_g: int,
+                  logit_scale: float, has_bias: bool):
+    if has_bias:
+        q_ref, kT_ref, v_ref, bias_ref, out_ref = refs
+    else:
+        q_ref, kT_ref, v_ref, out_ref = refs
+        bias_ref = None
+    base = pl.program_id(0) * block_g
+    prec = (None if compute_dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    for i in range(block_g):
+        g = base + i
+        qf = _uq(q_ref[i].astype(jnp.float32), m1as_ref[g], m1az_ref[g],
+                 m1a_bits)
+        kf = _uq(kT_ref[i].astype(jnp.float32), m1bs_ref[g], m1bz_ref[g],
+                 m1b_bits)
+        l = jax.lax.dot(qf.astype(compute_dtype), kf.astype(compute_dtype),
+                        precision=prec, preferred_element_type=jnp.float32)
+        if logit_scale != 1.0:
+            l = l * logit_scale
+        if has_bias:
+            l = l + bias_ref[i].astype(jnp.float32)
+        m = jnp.max(l, axis=-1, keepdims=True)
+        e = jnp.exp(l - m)
+        sm = e / jnp.sum(e, axis=-1, keepdims=True)
+        smq = _adalog_unit(sm, m2q_ref[g], m2a_bits)
+        vf = _uq(v_ref[i].astype(jnp.float32), m2bs_ref[g], m2bz_ref[g],
+                 m2b_bits)
+        out_ref[i] = jax.lax.dot(
+            smq.astype(compute_dtype), vf.astype(compute_dtype),
+            precision=prec, preferred_element_type=jnp.float32)
+
+
+def _pick_block_g_flash(G: int, S: int, D: int, itemsize: int,
+                        bias_period: int) -> int:
+    """Largest divisor of G (and of the bias broadcast period, so a block
+    never straddles the bias wrap-around) whose double-buffered tiles plus
+    the per-iteration (S, S) softmax intermediates fit in VMEM."""
+    isz = max(itemsize, 4)
+    per_slice = 4 * S * D * isz + (S * S * isz if bias_period else 0)
+    live = 4 * S * S * 4            # logits/exp/softmax intermediates
+    cap = max(1, (VMEM_BUDGET - live) // (2 * per_slice))
+    best = 1
+    for d in range(1, min(16, cap, G) + 1):
+        if G % d == 0 and (not bias_period or bias_period % d == 0):
+            best = d
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "m1a_bits", "m1b_bits", "m2a_bits", "m2b_bits", "logit_scale"))
+def fq_flash_attn(q, kT, v, m1a_params, m1b_params, m2q, m2b_params,
+                  bias=None, *, m1a_bits: int, m1b_bits: int, m2a_bits: int,
+                  m2b_bits: int, logit_scale: float):
+    """Fully fused fake-quant attention: the (S, S) logits never leave VMEM.
+
+    uq(q) @ uq(kT) -> * logit_scale -> (+ bias) -> row softmax -> AdaLog
+    fake-quant -> @ uq(v), one Pallas program per block of G = batch*heads
+    slices. This is the flash-attention-shaped answer to the e2e finding
+    that `run_softmax` still materializes the logits in HBM as a kernel
+    operand (reference pipeline: matmul.py:28-45 A/B quant + the softmax
+    between wrap_net's matmul1/matmul2 sites).
+
+    q: (G, S, D); kT: (G, D, S); v: (G, S, D). m1a/m1b/m2b_params: (G, 2)
+    [scale, zp]; m2q: (G,) AdaLog base (scale frozen at 1.0). bias: None or
+    (P, S, S) additive logit bias with P dividing G (broadcast with period
+    P: slice g reads bias[g % P] — Swin rel-pos bias (+ window mask)).
+    Returns (G, S, D) float32.
+    """
+    G, S, D = q.shape
+    compute_dtype = q.dtype
+    P = 0 if bias is None else bias.shape[0]
+    gb = _pick_block_g_flash(G, S, D, q.dtype.itemsize, P)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7 + [
+        pl.BlockSpec((gb, S, D), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, D, S), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((gb, S, D), lambda g: (g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [m1a_params[:, 0], m1a_params[:, 1], m1b_params[:, 0],
+            m1b_params[:, 1], m2q, m2b_params[:, 0], m2b_params[:, 1],
+            q, kT, v]
+    if bias is not None:
+        nb = P // gb
+        in_specs.append(pl.BlockSpec((gb, S, S), lambda g: (g % nb, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+
+    return pl.pallas_call(
+        functools.partial(
+            _flash_kernel, m1a_bits=m1a_bits, m1b_bits=m1b_bits,
+            m2a_bits=m2a_bits, m2b_bits=m2b_bits,
+            compute_dtype=compute_dtype, block_g=gb,
+            logit_scale=logit_scale, has_bias=bias is not None),
+        grid=(G // gb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((gb, S, D), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, S, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * S * S * D * 2,
+            bytes_accessed=(3 * G * S * D + G * S * D
+                            + (P * S * S if bias is not None else 0)) * 4,
+            transcendentals=2 * G * S * S),
+        interpret=INTERPRET,
+    )(*args)
+
+
 def _head_params(qs, H: int):
     """Per-head (scale-or-q, zp) rows -> (H, 2) float32; per-tensor layouts
     broadcast across heads."""
@@ -217,6 +330,21 @@ def supports_softmax(site, mode: str) -> bool:
             and Bq.kind == "uniform" and Bq.bits != 32)
 
 
+def supports_flash(m1_site, m2_site, m1_mode: str, m2_mode: str) -> bool:
+    """Fully fused path: matmul1 both-uniform + matmul2 AdaLog/uniform, both
+    sites in quant mode (the shipped eval configuration)."""
+    if not enabled() or m1_mode != "quant" or m2_mode != "quant":
+        return False
+    if m1_site is None or m2_site is None:
+        return False
+    m1a, m1b = m1_site.Aq, m1_site.Bq
+    if (m1a.kind != "uniform" or m1b.kind != "uniform"
+            or m1a.bits == 32 or m1b.bits == 32
+            or m1a.shifted or m1b.shifted):
+        return False
+    return supports_softmax(m2_site, m2_mode)
+
+
 def _flat_params(site, N: int, H: int):
     ap = jnp.tile(_head_params(site.Aq, H), (N, 1))
     bp = jnp.tile(_head_params(site.Bq, H), (N, 1))
@@ -232,6 +360,24 @@ def run(site, A, B):
         A.reshape(N * H, S, K), B.reshape(N * H, K, C), ap, bp,
         a_kind=site.Aq.kind, a_bits=site.Aq.bits, b_bits=site.Bq.bits)
     return out.reshape(N, H, S, C).astype(A.dtype)
+
+
+def run_flash(m1_site, m2_site, q, kT, v, *, logit_scale: float, bias=None):
+    """Dispatch 4D q/kT/v through the fully fused attention kernel.
+
+    q, v: (N, H, S, D); kT: (N, H, D, S); bias: None or (P, S, S) additive
+    logit bias with broadcast period P dividing N*H (Swin: rel-pos bias,
+    optionally + window mask, flattened over (nW,) heads)."""
+    N, H, S, D = q.shape
+    m1a, m1b = _flat_params(m1_site, N, H)
+    m2a, m2b = _flat_params(m2_site, N, H)
+    out = fq_flash_attn(
+        q.reshape(N * H, S, D), kT.reshape(N * H, D, S),
+        v.reshape(N * H, S, D), m1a, m1b, m2a[:, 0], m2b, bias,
+        m1a_bits=m1_site.Aq.bits, m1b_bits=m1_site.Bq.bits,
+        m2a_bits=m2_site.Aq.bits, m2b_bits=m2_site.Bq.bits,
+        logit_scale=logit_scale)
+    return out.reshape(N, H, S, D).astype(q.dtype)
 
 
 def run_softmax(site, L, B):

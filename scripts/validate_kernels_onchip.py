@@ -131,13 +131,55 @@ def main():
         preferred_element_type=jnp.float32)
     results["fq_attn adalog bf16"] = float(jnp.max(jnp.abs(got - want)))
 
+    # ---- flash attention (fully fused q@kT -> softmax -> AdaLog -> @v) ----
+    def flash_want(qx, ktx, vx, bias, scale, cd):
+        f32 = jnp.float32
+        l = jnp.matmul(uq(qx.astype(f32), 0.15, 8.0, BITS).astype(cd),
+                       uq(ktx.astype(f32), 0.11, 9.0, BITS).astype(cd),
+                       precision=(None if cd == jnp.bfloat16
+                                  else jax.lax.Precision.HIGHEST),
+                       preferred_element_type=f32) * scale
+        if bias is not None:
+            l = l + jnp.tile(bias, (G // bias.shape[0], 1, 1))
+        sm = jax.nn.softmax(l, axis=-1)
+        return jnp.matmul(adalog(sm, 29.0, BITS).astype(cd),
+                          uq(vx.astype(f32), 0.11, 9.0, BITS).astype(cd),
+                          precision=(None if cd == jnp.bfloat16
+                                     else jax.lax.Precision.HIGHEST),
+                          preferred_element_type=f32)
+
+    V = jnp.asarray(rng.standard_normal((G, S, D)), jnp.float32)
+    m2q = jnp.full((G,), 29.0, jnp.float32)
+    got = fq_attn.fq_flash_attn(Q, Kt, V, aps, bp, m2q, bp,
+                                m1a_bits=BITS, m1b_bits=BITS, m2a_bits=BITS,
+                                m2b_bits=BITS, logit_scale=D ** -0.5)
+    want = flash_want(Q, Kt, V, None, D ** -0.5, jnp.float32)
+    results["fq_attn flash fp32"] = float(jnp.max(jnp.abs(got - want)))
+
+    bias = jnp.asarray(rng.standard_normal((G // 4, S, S)), jnp.float32)
+    got = fq_attn.fq_flash_attn(Q, Kt, V, aps, bp, m2q, bp, bias,
+                                m1a_bits=BITS, m1b_bits=BITS, m2a_bits=BITS,
+                                m2b_bits=BITS, logit_scale=1.0)
+    want = flash_want(Q, Kt, V, bias, 1.0, jnp.float32)
+    results["fq_attn flash+bias fp32"] = float(jnp.max(jnp.abs(got - want)))
+
+    got = fq_attn.fq_flash_attn(
+        Q.astype(jnp.bfloat16), Kt.astype(jnp.bfloat16),
+        V.astype(jnp.bfloat16), aps, bp, m2q, bp,
+        m1a_bits=BITS, m1b_bits=BITS, m2a_bits=BITS, m2b_bits=BITS,
+        logit_scale=D ** -0.5)
+    want = flash_want(Q.astype(jnp.bfloat16), Kt.astype(jnp.bfloat16),
+                      V.astype(jnp.bfloat16), None, D ** -0.5, jnp.bfloat16)
+    results["fq_attn flash bf16"] = float(
+        jnp.max(jnp.abs(got.astype(jnp.float32) - want.astype(jnp.float32))))
+
     ok = True
     for name, diff in results.items():
         # softmax-fused: the in-kernel VPU softmax may differ from XLA's by
         # ulps, and AdaLog code rounding can amplify a boundary ulp into one
         # full quant-step flip on isolated elements — hence the looser bar.
         tol = (0.05 if "bf16" in name
-               else 0.02 if "softmax" in name else 2e-4)
+               else 0.02 if ("softmax" in name or "flash" in name) else 2e-4)
         status = "OK" if diff <= tol else "FAIL"
         ok &= diff <= tol
         print(f"{name}: max|diff| = {diff:.3e}  [{status}]")

@@ -37,8 +37,10 @@ def test_pallas_model_path_matches_xla(rng, monkeypatch):
 
     fq_gemm.INTERPRET = True
     fq_attn.INTERPRET = True
-    # force 'enabled' despite the CPU test backend
+    # force 'enabled' despite the CPU test backend — fq_attn too, so the
+    # fully fused flash attention path runs (interpret mode) in-model
     monkeypatch.setattr(fq_gemm, "enabled", lambda: True)
+    monkeypatch.setattr(fq_attn, "enabled", lambda: True)
     try:
         got = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
     finally:
