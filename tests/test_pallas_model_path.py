@@ -48,3 +48,37 @@ def test_pallas_model_path_matches_xla(rng, monkeypatch):
         fq_attn.INTERPRET = False
 
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_swin_model_path_matches_xla(rng, monkeypatch):
+    """Swin quantized forward with the flash attention kernel (interpret
+    mode) equals the XLA path — exercises the rel-pos-bias (+ shifted-window
+    mask) fold into the kernel's period-P additive logit bias, which only
+    the in-model dispatch builds (swin.py, not the kernel-level tests)."""
+    from adalog_tpu.models.zoo import model_spec, build_model, \
+        model_forward_fn
+
+    spec, params = build_model("test_tiny_swin", seed=0)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    qstate = init_qstate(spec, cfg, params)
+    fwd = model_forward_fn(spec)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+
+    want = np.asarray(fwd(spec.cfg, params, x, qstate, {"*": "quant"}))
+
+    fq_attn.INTERPRET = True
+    monkeypatch.setattr(fq_attn, "enabled", lambda: True)
+    calls = []
+    real_run_flash = fq_attn.run_flash
+    monkeypatch.setattr(
+        fq_attn, "run_flash",
+        lambda *a, **k: calls.append(1) or real_run_flash(*a, **k))
+    try:
+        got = np.asarray(fwd(spec.cfg, params, x, qstate, {"*": "quant"}))
+    finally:
+        fq_attn.INTERPRET = False
+
+    # depths (1, 2): stage-1 block 1 is shifted (mask path) — all three
+    # attention sites must have gone through the flash kernel
+    assert len(calls) == 3
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
