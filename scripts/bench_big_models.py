@@ -36,6 +36,11 @@ def main():
     # BIG_SPILL_DTYPE=bfloat16 halves the host<->device spill transfers
     cfg.capture_spill_dtype = os.environ.get("BIG_SPILL_DTYPE",
                                              cfg.capture_spill_dtype)
+    # BIG_A_GRAM=1 enables Gram-form activation/matmul scoring (selection
+    # safety probed at deit scale — scripts/probe_a_gram.py; slower there
+    # because deit search is dispatch-bound, to be probed at these scales)
+    if os.environ.get("BIG_A_GRAM"):
+        cfg.a_search_gram = True
     spec, params = build_model(model, seed=0)
     img = spec.cfg.img_size
 
