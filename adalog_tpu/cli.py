@@ -190,10 +190,18 @@ def main(args):
             mesh = make_mesh(n)
             log.info("data-parallel mesh over %d devices: %s", n, mesh)
 
-    if cfg.use_pallas:
+    if mesh is not None and (cfg.use_pallas
+                             or getattr(cfg, "use_pallas_gemm", False)):
+        # GSPMD cannot partition an opaque pallas_call along the dp-sharded
+        # batch: it would insert all-gathers around every attention kernel
+        # (correct but slow, and de-shards the largest tensors). Multi-chip
+        # eval keeps XLA's fused path; the kernels are a single-chip win.
+        log.info("mesh active: Pallas eval kernels disabled (GSPMD would "
+                 "all-gather around the opaque kernel calls)")
+    elif cfg.use_pallas:
         from adalog_tpu.ops import fq_attn
         fq_attn.set_enabled(True)
-    if getattr(cfg, "use_pallas_gemm", False):
+    if mesh is None and getattr(cfg, "use_pallas_gemm", False):
         from adalog_tpu.ops import fq_gemm
         fq_gemm.set_enabled(True)
     if cfg.eval_int8:
