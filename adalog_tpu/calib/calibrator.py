@@ -44,7 +44,7 @@ log = logging.getLogger("adalog_tpu")
 
 def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
                       device_budget_bytes: int = None, names=None,
-                      spill_dtype=None):
+                      spill_dtype=None, capture_dtype=None):
     """Run the raw model once per batch, capturing every quant site's I/O.
 
     Returns dict name -> tuple of concatenated arrays (inputs..., output).
@@ -65,6 +65,14 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
     ~1,230 s of 2,983 s, ROUND2_NOTES). Search still runs in fp32 (taps are
     upcast after re-upload); selection drift is bounded by the spill-parity
     differential (tests/test_calib_e2e.py) and the on-chip probe.
+
+    ``capture_dtype`` (e.g. jnp.bfloat16) keeps the taps in that dtype ON
+    DEVICE unconditionally — halving the capture FOOTPRINT, not just the
+    transfers. The spill decision is then made against the halved bytes, so
+    a model whose fp32 taps exceed the device budget (vit_large: 15 GB vs
+    8 GB) can avoid spilling entirely and never touch the slow tunnel.
+    Implies the same rounding class as spill_dtype (searches upcast to fp32
+    at consumption); when set it supersedes spill_dtype.
     """
     from functools import partial
 
@@ -83,9 +91,10 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
         if not shapes:
             return {}
     groups = [None] if names is None else [tuple(shapes)]
+    tap_itemsize = 2 if capture_dtype == jnp.bfloat16 else 4
     if device_budget_bytes is not None:
         site_bytes = {
-            nm: sum(int(np.prod(s.shape)) * 4 for s in tup)
+            nm: sum(int(np.prod(s.shape)) * tap_itemsize for s in tup)
             for nm, tup in shapes.items()}
         per_batch_bytes = sum(site_bytes.values())
         total = per_batch_bytes * len(batches)
@@ -106,18 +115,20 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
                      "spilling to host in %d passes/batch",
                      total / 2**30, device_budget_bytes / 2**30, len(groups))
 
+    cast_dtype = capture_dtype or (spill_dtype if spill else None)
+
     @partial(jax.jit, static_argnames=("names",))
     def run_group_cast(p, x, names=None):
         taps = run_group(p, x, names)
         return jax.tree_util.tree_map(
-            lambda a: a.astype(spill_dtype), taps)
+            lambda a: a.astype(cast_dtype), taps)
 
     per_batch = []
     for xb in batches:
         xb = jnp.asarray(xb)
         taps = {}
         for g in groups:
-            if spill and spill_dtype is not None:
+            if cast_dtype is not None:
                 part = run_group_cast(params, xb, g)
             else:
                 part = run_group(params, xb, g)
@@ -164,6 +175,8 @@ class QuantCalibrator:
         self._folded = {}    # name -> (r, b) of resume-restored reparam folds
         self._spill_dtype = (jnp.bfloat16 if getattr(
             cfg, "capture_spill_dtype", "float32") == "bfloat16" else None)
+        self._capture_dtype = (jnp.bfloat16 if getattr(
+            cfg, "capture_dtype", "float32") == "bfloat16" else None)
         scoring.set_score_dtype(cfg.search_dtype)
         scoring.set_score_precision(getattr(cfg, "search_precision",
                                             "highest"))
@@ -333,6 +346,8 @@ class QuantCalibrator:
                 # per-tensor search — folding again would miscalibrate.
                 r, b = self._folded[name]
                 x2 = rewrite_cached_input(x2, jnp.asarray(r), jnp.asarray(b))
+                if self._capture_dtype is not None:
+                    x2 = x2.astype(self._capture_dtype)
             elif getattr(self.cfg, "batch_sites", True) and p.b is not None:
                 # defer stage 1 too: the channel-wise self-searches of every
                 # same-shape reparam site run as one vmapped program (qkv and
@@ -457,11 +472,15 @@ class QuantCalibrator:
             self.params = tree_set(self.params, ssi.norm_path, new_norm)
             self.params = tree_set(self.params, ssi.param_path, new_lin)
             x2r = rewrite_cached_input(x2, r, b)
+            if self._capture_dtype is not None:
+                # keep the stash in the capture dtype so the on-device tap
+                # set stays half-size (the rewrite promoted it to fp32);
+                # second bf16 rounding is part of the measured drift budget
+                x2r = x2r.astype(self._capture_dtype)
             if spill:
-                # keep the stash in the spill dtype so the host copy and the
-                # re-upload stay half-size (second bf16 rounding is part of
-                # the measured spill-drift budget)
-                if self._spill_dtype is not None:
+                # same, for the host copy and the re-upload
+                if self._spill_dtype is not None and \
+                        self._capture_dtype is None:
                     x2r = x2r.astype(self._spill_dtype)
                 x2r = np.asarray(x2r)
             key2 = ("linear", x2r.shape, new_lin.w.shape, ssi.w_bits,
@@ -721,7 +740,8 @@ class QuantCalibrator:
             [nm for nm in self.layout if nm not in done]
         taps = capture_all_sites(self.spec, self.params, batches,
                                  self.cfg.capture_device_budget_bytes,
-                                 names=need, spill_dtype=self._spill_dtype)
+                                 names=need, spill_dtype=self._spill_dtype,
+                                 capture_dtype=self._capture_dtype)
         log.info("capture: %d sites in %.1fs", len(taps), time.time() - t0)
         self._resume_apply(recs)
 

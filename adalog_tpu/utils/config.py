@@ -82,6 +82,13 @@ class Config:
     # re-upload). Selection drift vs fp32 capture is bounded by the spill
     # differential (tests/test_calib_e2e.py) and the on-chip probe.
     capture_spill_dtype: str = "float32"
+    # dtype of capture taps ON DEVICE: 'bfloat16' halves the capture
+    # FOOTPRINT (not just transfers), so a model whose fp32 taps exceed
+    # capture_device_budget_bytes can stay on-device and never spill at all
+    # (vit_large: 15 GB fp32 -> 7.5 GB bf16 < the 8 GB budget). Same
+    # rounding/drift class as capture_spill_dtype (searches upcast to fp32
+    # at consumption); supersedes it when set.
+    capture_dtype: str = "float32"
     recon_iters: int = 20000
     recon_block_group: int = 4      # same-shape blocks trained concurrently (vmap)
     # iterations per jitted training segment: bounds the wall-clock of one

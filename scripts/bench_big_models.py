@@ -36,6 +36,9 @@ def main():
     # BIG_SPILL_DTYPE=bfloat16 halves the host<->device spill transfers
     cfg.capture_spill_dtype = os.environ.get("BIG_SPILL_DTYPE",
                                              cfg.capture_spill_dtype)
+    # BIG_CAPTURE_DTYPE=bfloat16 halves the ON-DEVICE capture footprint —
+    # vit_large's 15 GB fp32 tap set becomes 7.5 GB and never spills at all
+    cfg.capture_dtype = os.environ.get("BIG_CAPTURE_DTYPE", cfg.capture_dtype)
     # BIG_A_GRAM=1 enables Gram-form activation/matmul scoring (selection
     # safety probed at deit scale — scripts/probe_a_gram.py; slower there
     # because deit search is dispatch-bound, to be probed at these scales)

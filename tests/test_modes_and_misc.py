@@ -94,6 +94,57 @@ def test_capture_spill_bf16_dtype_and_accuracy(rng):
                                        rtol=8e-3, atol=8e-3)
 
 
+def test_capture_bf16_on_device_halves_footprint(rng):
+    """capture_dtype=bf16 keeps taps ON DEVICE in bf16 and makes the spill
+    decision against the halved bytes: a budget that forces fp32 to spill
+    keeps bf16 resident (the vit_large never-spill optimization)."""
+    import ml_dtypes
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    b = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    f32 = capture_all_sites(TinySpec, params, [b], device_budget_bytes=None)
+    total_f32 = sum(int(np.prod(a.shape)) * 4
+                    for tup in f32.values() for a in tup)
+    budget = int(total_f32 * 0.6)    # fp32 spills, bf16 (0.5x) fits
+
+    spl = capture_all_sites(TinySpec, params, [b],
+                            device_budget_bytes=budget)
+    assert all(isinstance(a, np.ndarray) for a in spl[next(iter(spl))])
+
+    bf16 = capture_all_sites(TinySpec, params, [b],
+                             device_budget_bytes=budget,
+                             capture_dtype=jnp.bfloat16)
+    for nm in f32:
+        for a, c in zip(f32[nm], bf16[nm]):
+            assert not isinstance(c, np.ndarray)     # stayed on device
+            assert c.dtype == jnp.bfloat16
+            np.testing.assert_allclose(np.asarray(a),
+                                       np.asarray(c, np.float32),
+                                       rtol=8e-3, atol=8e-3)
+
+
+def test_capture_bf16_calibration_drift(rng):
+    """Full calibration with on-device bf16 taps (no spill) vs fp32: the
+    quantized models must be equally good approximations of FP32."""
+    from adalog_tpu.models.vit import vit_forward
+
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    x = np.asarray(batches[0])
+
+    outs = {}
+    for cd in ("float32", "bfloat16"):
+        cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4, eq_n=32,
+                     steps=2, search_round=1, capture_dtype=cd)
+        calib = QuantCalibrator(TinySpec, params, cfg)
+        calib.calibrate(batches)
+        p, q = calib.finish_calibration()
+        outs[cd] = np.asarray(vit_forward(CFG, p, x, q, {"*": "quant"}))
+    y_raw = np.asarray(vit_forward(CFG, params, x))
+    e32 = np.linalg.norm(outs["float32"] - y_raw)
+    e16 = np.linalg.norm(outs["bfloat16"] - y_raw)
+    assert e16 <= e32 * 1.10, (e16, e32)
+
+
 def test_spill_bf16_calibration_drift(rng):
     """Full calibration with forced spill, fp32 vs bf16 taps: the quantized
     models must be equally good approximations of FP32 (the drift bound the
