@@ -99,9 +99,12 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
         per_batch_bytes = sum(site_bytes.values())
         total = per_batch_bytes * len(batches)
         spill = total > device_budget_bytes
-        if spill:
-            pass_cap = max(device_budget_bytes // 4,
-                           max(site_bytes.values()))
+        # grouped passes whenever ONE pass's return set is large — even when
+        # the total fits on device (bf16 capture_dtype at vit_large scale):
+        # a single program returning the multi-GB tap set crashes XLA's
+        # remat pass and spikes memory (forward intermediates + all taps)
+        pass_cap = max(device_budget_bytes // 4, max(site_bytes.values()))
+        if per_batch_bytes > pass_cap:
             groups, cur, cur_b = [], [], 0
             for nm in shapes:                    # insertion = layout order
                 if cur and cur_b + site_bytes[nm] > pass_cap:
@@ -111,9 +114,11 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
                 cur_b += site_bytes[nm]
             if cur:
                 groups.append(tuple(cur))
-            log.info("capture footprint %.1f GB > budget %.1f GB; "
-                     "spilling to host in %d passes/batch",
-                     total / 2**30, device_budget_bytes / 2**30, len(groups))
+            log.info("capture footprint %.1f GB (budget %.1f GB): %s in "
+                     "%d passes/batch",
+                     total / 2**30, device_budget_bytes / 2**30,
+                     "spilling to host" if spill else
+                     "grouped on-device capture", len(groups))
 
     cast_dtype = capture_dtype or (spill_dtype if spill else None)
 
