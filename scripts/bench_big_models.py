@@ -54,8 +54,10 @@ def main():
                for _ in range(cfg.calib_size // bs)]
 
     t0 = time.time()
+    # .rs2 = the v2 framed-npz resume format; a stale round-2 .pkl at the old
+    # path would be rejected loudly and kill the run
     calib = QuantCalibrator(spec, params, cfg,
-                            resume_path=f"/tmp/{model}_resume.pkl")
+                            resume_path=f"/tmp/{model}_resume.rs2")
     new_params, qstate = calib.calibrate(batches)
     new_params, qstate = calib.finish_calibration()
     jax.block_until_ready(jax.tree_util.tree_leaves(qstate)[0])
