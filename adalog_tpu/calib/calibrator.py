@@ -44,7 +44,7 @@ log = logging.getLogger("adalog_tpu")
 
 def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
                       device_budget_bytes: int = None, names=None,
-                      spill_dtype=None, capture_dtype=None):
+                      spill_dtype=None, capture_dtype=None, mesh=None):
     """Run the raw model once per batch, capturing every quant site's I/O.
 
     Returns dict name -> tuple of concatenated arrays (inputs..., output).
@@ -73,6 +73,12 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
     8 GB) can avoid spilling entirely and never touch the slow tunnel.
     Implies the same rounding class as spill_dtype (searches upcast to fp32
     at consumption); when set it supersedes spill_dtype.
+
+    ``mesh``: data-parallel capture — each batch is dp-sharded over the mesh
+    before the jitted forward, so capture FLOPs and resident tap memory
+    scale across chips; the taps come out sharded along the batch axis,
+    composing with the token-sharded searches downstream (both shard dim 0
+    of the flattened (tokens, features) view).
     """
     from functools import partial
 
@@ -131,6 +137,9 @@ def capture_all_sites(spec: ModelSpec, params, batches: List[np.ndarray],
     per_batch = []
     for xb in batches:
         xb = jnp.asarray(xb)
+        if mesh is not None and xb.shape[0] % mesh.devices.size == 0:
+            from adalog_tpu.parallel.mesh import shard_batch
+            xb = shard_batch(xb, mesh)
         taps = {}
         for g in groups:
             if cast_dtype is not None:
@@ -746,7 +755,8 @@ class QuantCalibrator:
         taps = capture_all_sites(self.spec, self.params, batches,
                                  self.cfg.capture_device_budget_bytes,
                                  names=need, spill_dtype=self._spill_dtype,
-                                 capture_dtype=self._capture_dtype)
+                                 capture_dtype=self._capture_dtype,
+                                 mesh=self.mesh)
         log.info("capture: %d sites in %.1fs", len(taps), time.time() - t0)
         self._resume_apply(recs)
 

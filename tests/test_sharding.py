@@ -66,6 +66,39 @@ def test_token_sharded_search_matches_single_device(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_dp_capture_matches_single_device(rng):
+    """capture_all_sites with a mesh dp-shards each batch over the devices;
+    taps must equal the single-device capture (and a full mesh calibration —
+    dp capture composing with token-sharded searches — must match too)."""
+    from adalog_tpu.calib.calibrator import capture_all_sites, QuantCalibrator
+
+    mesh = make_mesh(8)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    b = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+
+    single = capture_all_sites(TinySpec, params, [b])
+    sharded = capture_all_sites(TinySpec, params, [b], mesh=mesh)
+    for nm in single:
+        for a, c in zip(single[nm], sharded[nm]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=2e-5, atol=2e-5)
+
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4, eq_n=32,
+                 steps=2, search_round=1)
+    qs = {}
+    for m in (None, mesh):
+        calib = QuantCalibrator(TinySpec, params, cfg, mesh=m)
+        calib.calibrate([b])
+        _, qs[m is None] = calib.finish_calibration()
+    x = np.asarray(b)
+    p = params
+    y0 = np.asarray(vit_forward(CFG, p, x, qs[True], {"*": "quant"}))
+    y1 = np.asarray(vit_forward(CFG, p, x, qs[False], {"*": "quant"}))
+    yr = np.asarray(vit_forward(CFG, p, x))
+    # selections may flip on fp32 psum-order near-ties; quality must match
+    assert np.linalg.norm(y1 - yr) <= np.linalg.norm(y0 - yr) * 1.05
+
+
 def test_graft_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
