@@ -122,6 +122,23 @@ def test_capture_bf16_on_device_halves_footprint(rng):
                                        rtol=8e-3, atol=8e-3)
 
 
+def test_capture_grouped_on_device_matches_single_pass(rng):
+    """A budget that fits the total but not one pass (total < budget,
+    per-pass cap = budget//4) takes grouped on-device passes — taps must
+    stay on device and be bitwise equal to the single-pass capture."""
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    b = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    single = capture_all_sites(TinySpec, params, [b])
+    total = sum(int(np.prod(a.shape)) * 4
+                for tup in single.values() for a in tup)
+    grouped = capture_all_sites(TinySpec, params, [b],
+                                device_budget_bytes=int(total * 1.5))
+    for nm in single:
+        for a, c in zip(single[nm], grouped[nm]):
+            assert not isinstance(c, np.ndarray)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_capture_bf16_calibration_drift(rng):
     """Full calibration with on-device bf16 taps (no spill) vs fp32: the
     quantized models must be equally good approximations of FP32."""
