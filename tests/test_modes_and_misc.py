@@ -125,7 +125,8 @@ def test_capture_bf16_on_device_halves_footprint(rng):
 def test_capture_grouped_on_device_matches_single_pass(rng):
     """A budget that fits the total but not one pass (total < budget,
     per-pass cap = budget//4) takes grouped on-device passes — taps must
-    stay on device and be bitwise equal to the single-pass capture."""
+    stay on device and match the single-pass capture (to fusion-order ulps:
+    returning a tap subset lets XLA fuse the forward differently)."""
     params = vit_init(CFG, jax.random.PRNGKey(0))
     b = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
     single = capture_all_sites(TinySpec, params, [b])
@@ -136,7 +137,8 @@ def test_capture_grouped_on_device_matches_single_pass(rng):
     for nm in single:
         for a, c in zip(single[nm], grouped[nm]):
             assert not isinstance(c, np.ndarray)
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-6, atol=1e-6)
 
 
 def test_capture_bf16_calibration_drift(rng):
