@@ -27,4 +27,8 @@ import pytest  # noqa: E402
 
 @pytest.fixture
 def rng():
-    return np.random.default_rng(0)
+    # ADALOG_TEST_SEED: seed-sweep fuzzing of the differential suite (the
+    # parity argument strengthens with every seed that agrees with the
+    # reference); default 0 keeps CI deterministic
+    import os
+    return np.random.default_rng(int(os.environ.get("ADALOG_TEST_SEED", "0")))
