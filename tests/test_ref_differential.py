@@ -243,12 +243,64 @@ def test_matmul_postsoftmax_vs_reference(rng, a_kind, bits):
         B_bits=bits, eq_n=EQ_N, steps=STEPS, rounds=ROUNDS, use_fpcs=True,
         head_cw=True, a_kind=a_kind)
 
-    if a_kind == "adalog":
-        assert float(q) == r_q, (float(q), r_q)
-    got = np.concatenate([np.asarray(B_s).ravel(), np.asarray(B_z).ravel()])
-    want = np.concatenate([rB_s.ravel(), rB_z.ravel()])
-    frac, pair = _agree(got, want)
-    assert frac >= 0.6, pair
+    # fp64 oracle of the post-softmax log quantizers (scale frozen at 1.0,
+    # matmul.py:330-337 decomposition; search path scoring.py:106-118)
+    N = 2 ** (bits - 1)
+    ts = 1.0 / (4 * N - 2)
+    A64 = np.clip(A.astype(np.float64), 1e-30, None)
+
+    def a_q64(qa):
+        if a_kind == "adalog":
+            code = np.round(-np.log2(A64) * 37.0 / qa)
+            keep = code < 2 * N
+            prod = np.clip(code, 0, 2 * N - 1) * qa
+            mant = np.round(np.exp2(-np.remainder(prod, 37.0) / 37.0)
+                            / ts) * ts
+            return np.exp2(-np.floor(prod / 37.0)) * mant * keep
+        base = 1.0 if a_kind == "log2" else 2.0
+        code = np.round(-np.log2(A64) * base)
+        keep = code < 2 * N
+        code = np.clip(code, 0, 2 * N - 1)
+        if a_kind == "log2":
+            return np.exp2(-code) * keep
+        odd = (code % 2) * (np.sqrt(2.0) - 1.0) + 1.0
+        return np.exp2(-np.ceil(code / 2.0)) * odd * keep
+
+    def head_sse(qa, Bs, Bz):
+        """fp64 per-head output-SSE of a full (q, B_scale, B_zp) selection."""
+        A_q = a_q64(qa)
+        B_q = _uq64(B.astype(np.float64),
+                    np.asarray(Bs, np.float64).reshape(1, H, 1, 1),
+                    np.asarray(Bz, np.float64).reshape(1, H, 1, 1), bits)
+        return np.sum((y - A_q @ B_q) ** 2, axis=(0, 2, 3))
+
+    if a_kind == "adalog" and float(q) != r_q:
+        # AdaLog base fork on an fp32 scoring near-tie: each side's full
+        # selection must be fp64 objective-equivalent in total
+        sse_o = float(np.sum(head_sse(float(q), B_s, B_z)))
+        sse_r = float(np.sum(head_sse(r_q, rB_s, rB_z)))
+        assert sse_o <= sse_r * 1.05 and sse_r <= sse_o * 1.05, \
+            (float(q), r_q, sse_o, sse_r)
+    else:
+        if a_kind == "adalog":
+            assert float(q) == r_q, (float(q), r_q)
+        got = np.concatenate([np.asarray(B_s).ravel(),
+                              np.asarray(B_z).ravel()])
+        want = np.concatenate([rB_s.ravel(), rB_z.ravel()])
+        # exact agreement is a heuristic floor (per-head (scale, zp) pairs
+        # fork on fp32 near-ties — seed sweep saw 3/6 leaves at one seed);
+        # the binding invariant is per-head fp64 objective equivalence.
+        # Fork magnitude measured at these tiny shapes: up to 1.063 at 6-bit
+        # (T*D=48 samples/head, fp32 scoring noise magnified in fp64), in
+        # both directions across seeds — 10% bounds it with margin.
+        frac, pair = _agree(got, want)
+        assert frac >= 0.3, pair
+        qa = float(q) if a_kind == "adalog" else 37.0
+        sse_o = head_sse(qa, B_s, B_z)
+        sse_r = head_sse(qa, rB_s, rB_z)
+        ratio = sse_o / np.maximum(sse_r, 1e-30)
+        assert np.all(ratio <= 1.10) and np.all(ratio >= 1 / 1.10), \
+            (ratio.min(), ratio.max())
 
 
 # ---------------------------------------------------------------------------
