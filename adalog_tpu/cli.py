@@ -190,20 +190,18 @@ def main(args):
             mesh = make_mesh(n)
             log.info("data-parallel mesh over %d devices: %s", n, mesh)
 
-    if mesh is not None and (cfg.use_pallas
-                             or getattr(cfg, "use_pallas_gemm", False)):
-        # GSPMD cannot partition an opaque pallas_call along the dp-sharded
-        # batch: it would insert all-gathers around every attention kernel
-        # (correct but slow, and de-shards the largest tensors). Multi-chip
-        # eval keeps XLA's fused path; the kernels are a single-chip win.
-        log.info("mesh active: Pallas eval kernels disabled (GSPMD would "
-                 "all-gather around the opaque kernel calls)")
-    elif cfg.use_pallas:
+    if cfg.use_pallas:
+        # Under a mesh the eval forward runs inside shard_map (below), so
+        # the opaque pallas_call executes per-device on the local batch
+        # shard — GSPMD never sees it and inserts no all-gathers.
         from adalog_tpu.ops import fq_attn
         fq_attn.set_enabled(True)
-    if mesh is None and getattr(cfg, "use_pallas_gemm", False):
-        from adalog_tpu.ops import fq_gemm
-        fq_gemm.set_enabled(True)
+    if getattr(cfg, "use_pallas_gemm", False):
+        if mesh is None:
+            from adalog_tpu.ops import fq_gemm
+            fq_gemm.set_enabled(True)
+        else:
+            log.info("mesh active: fq_gemm linear kernels stay disabled")
     if cfg.eval_int8:
         from adalog_tpu.ops import int8_linear
         int8_linear.set_enabled(True)
@@ -219,13 +217,25 @@ def main(args):
 
         if mesh is None:
             return f
-        from adalog_tpu.parallel.mesh import shard_batch
+        from adalog_tpu.parallel.mesh import dp_shard_map, shard_batch
+
+        def local(pp, lqs, x):
+            return fwd(spec.cfg, pp, x, lqs,
+                       {"*": "quant"}).astype(jnp.float32)
+
+        sm = dp_shard_map(local, mesh, n_replicated=2)
+
+        @jax.jit
+        def f_sm(x):
+            x = x.astype(dtype)
+            pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), p)
+            return sm(pp, qs, x)
 
         def f_dp(x):
             x = jnp.asarray(x)
             if x.shape[0] % mesh.devices.size == 0:
-                x = shard_batch(x, mesh)
-            return f(x)
+                return f_sm(shard_batch(x, mesh))
+            return f(x)           # remainder batch: single-program path
         return f_dp
 
     def load_any_checkpoint(path):

@@ -61,3 +61,21 @@ def shard_batch(x, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def dp_shard_map(fn, mesh: Mesh, n_replicated: int, axis: str = "dp"):
+    """shard_map wrapper for data-parallel eval: the LAST argument of ``fn``
+    is batch-sharded on ``axis``; the first ``n_replicated`` arguments
+    (params, qstate, ...) are replicated.
+
+    GSPMD cannot partition an opaque ``pallas_call`` along a sharded batch —
+    under plain jit it inserts all-gathers around every kernel call. Running
+    the whole per-device forward inside shard_map sidesteps that: each chip
+    executes the full program (fused Pallas attention kernels included) on
+    its local batch shard, with no collectives in the forward at all.
+    Varying-manual-axes checking is off because pallas_call carries no
+    replication rule.
+    """
+    in_specs = tuple([P()] * n_replicated + [P(axis)])
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis),
+                         check_vma=False)

@@ -44,6 +44,49 @@ def test_dp_eval_matches_single_device(rng):
     np.testing.assert_allclose(y_dp, y_single, rtol=2e-5, atol=2e-5)
 
 
+def test_dp_shard_map_flash_eval_matches_single_device(rng, monkeypatch):
+    """dp_shard_map eval with the fused attention kernels (interpret mode):
+    each virtual device runs the full quantized forward — flash kernel
+    included — on its local batch shard, with no GSPMD all-gathers around
+    the opaque pallas_call. Output must equal the single-device XLA path."""
+    from adalog_tpu.parallel.mesh import dp_shard_map
+    from adalog_tpu.ops import fq_attn
+
+    mesh = make_mesh(8)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    # realistic act-quantizer params so the kernels do real work
+    for nm, site in list(qstate.items()):
+        if hasattr(site, "aq") and site.aq.kind == "uniform" and \
+                site.aq.zero_point is not None:
+            qstate[nm] = site.replace(aq=site.aq.replace(
+                scale=jnp.full_like(site.aq.scale, 0.05),
+                zero_point=jnp.full_like(site.aq.zero_point, 8.0)))
+    x = jnp.asarray(rng.standard_normal((16, 16, 16, 3)).astype(np.float32))
+
+    y_single = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+
+    def local(pp, lqs, xx):
+        return vit_forward(CFG, pp, xx, lqs, {"*": "quant"})
+
+    sm = jax.jit(dp_shard_map(local, mesh, n_replicated=2))
+
+    fq_attn.INTERPRET = True
+    monkeypatch.setattr(fq_attn, "enabled", lambda: True)
+    calls = []
+    real = fq_attn.run_flash
+    monkeypatch.setattr(fq_attn, "run_flash",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    try:
+        y_sm = np.asarray(sm(params, qstate, shard_batch(x, mesh)))
+    finally:
+        fq_attn.INTERPRET = False
+
+    assert calls, "flash kernel was not dispatched under shard_map"
+    np.testing.assert_allclose(y_sm, y_single, rtol=2e-4, atol=2e-4)
+
+
 def test_token_sharded_search_matches_single_device(rng):
     """search_linear_default with the token axis dp-sharded returns the same
     searched parameters (psum reductions are order-stable enough here)."""
