@@ -83,12 +83,17 @@ def get_args_parser():
     p.add_argument("--resume", type=str, default=None, metavar="PATH",
                    help="per-site calibration resume file: an interrupted "
                         "--calibrate run restarts where it left off "
-                        "(appended pickle records; TPU-native addition, the "
+                        "(framed npz records; TPU-native addition, the "
                         "reference has no mid-calibration resume)")
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="shard calibration scoring, BRECQ and eval over the "
                         "first N local devices (jax.sharding Mesh over ICI); "
                         "0 = single-device, -1 = all local devices")
+    p.add_argument("--mesh-tp", type=int, default=1,
+                   help="tensor-parallel factor for EVAL on a 2D dp×tp mesh "
+                        "(Megatron placement: qkv/fc1/head column-, "
+                        "proj/fc2 row-parallel; GSPMD all-reduces over ICI)."
+                        " Must divide --mesh-devices; calibration stays dp")
     return p
 
 
@@ -190,12 +195,25 @@ def main(args):
             mesh = make_mesh(n)
             log.info("data-parallel mesh over %d devices: %s", n, mesh)
 
+    tp = max(1, getattr(args, "mesh_tp", 1))
+    eval_mesh_tp = None
+    if tp > 1:
+        if mesh is None or mesh.devices.size % tp:
+            raise SystemExit(f"--mesh-tp {tp} must divide --mesh-devices")
+        from adalog_tpu.parallel.mesh import make_mesh_2d
+        eval_mesh_tp = make_mesh_2d(mesh.devices.size // tp, tp)
+        log.info("eval on a 2D dp×tp mesh: %s", eval_mesh_tp)
+
     if cfg.use_pallas:
-        # Under a mesh the eval forward runs inside shard_map (below), so
-        # the opaque pallas_call executes per-device on the local batch
-        # shard — GSPMD never sees it and inserts no all-gathers.
-        from adalog_tpu.ops import fq_attn
-        fq_attn.set_enabled(True)
+        if eval_mesh_tp is not None:
+            log.info("mesh-tp active: Pallas eval kernels disabled (an "
+                     "opaque pallas_call cannot be tp-partitioned by GSPMD)")
+        else:
+            # Under a dp mesh the eval forward runs inside shard_map
+            # (below), so the opaque pallas_call executes per-device on the
+            # local batch shard — GSPMD never sees it, no all-gathers.
+            from adalog_tpu.ops import fq_attn
+            fq_attn.set_enabled(True)
     if getattr(cfg, "use_pallas_gemm", False):
         if mesh is None:
             from adalog_tpu.ops import fq_gemm
@@ -218,6 +236,29 @@ def main(args):
         if mesh is None:
             return f
         from adalog_tpu.parallel.mesh import dp_shard_map, shard_batch
+
+        if eval_mesh_tp is not None:
+            # 2D dp×tp: weights physically sharded (Megatron placement),
+            # batch on dp; GSPMD lays the all-reduces on ICI. The opaque
+            # Pallas kernels cannot run under GSPMD tp partitioning.
+            from adalog_tpu.parallel.mesh import shard_params_tp
+            p_tp = shard_params_tp(p, eval_mesh_tp)
+
+            @jax.jit
+            def f_tp(x):
+                x = x.astype(dtype)
+                pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), p_tp)
+                return fwd(spec.cfg, pp, x, qs,
+                           {"*": "quant"}).astype(jnp.float32)
+
+            dp_n = eval_mesh_tp.shape["dp"]
+
+            def f_2d(x):
+                x = jnp.asarray(x)
+                if x.shape[0] % dp_n == 0:
+                    return f_tp(shard_batch(x, eval_mesh_tp))
+                return f(x)       # remainder batch: single-program path
+            return f_2d
 
         def local(pp, lqs, x):
             return fwd(spec.cfg, pp, x, lqs,

@@ -63,6 +63,55 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
 
 
+def make_mesh_2d(dp_size: int, tp_size: int,
+                 axes=("dp", "tp")) -> Mesh:
+    """2D device mesh: data-parallel × tensor-parallel."""
+    devices = jax.devices()[:dp_size * tp_size]
+    return Mesh(np.array(devices).reshape(dp_size, tp_size), axes)
+
+
+# Megatron-pattern tensor-parallel placement for the transformer zoo
+# (scaling-book recipe: annotate shardings, let GSPMD insert the
+# collectives over ICI). Column-parallel layers shard the output features
+# (w dim 0, b sharded); row-parallel layers shard the input features
+# (w dim 1, b replicated) and GSPMD all-reduces their partial outputs:
+#   qkv / fc1 / head  -> column-parallel
+#   proj / fc2        -> row-parallel
+# Everything else (norms, embeddings, conv patch embed, per-channel
+# quantizer scales) is replicated — tiny next to the matmul weights.
+_TP_COL = (".qkv", ".fc1", ".head")
+_TP_ROW = (".proj.w", ".fc2.w")
+
+
+def tp_shardings(params, mesh: Mesh, axis: str = "tp"):
+    """Pytree of NamedShardings implementing the placement table above.
+
+    Family-agnostic: rules key on parameter-path suffixes shared by ViT and
+    Swin (…attn.qkv.w, …mlp.fc1.w, …). A dimension that does not divide the
+    tp axis falls back to replicated (e.g. a 10-class test head on tp=4).
+    """
+    tp = mesh.shape[axis]
+
+    def rule(path, leaf):
+        ks = jax.tree_util.keystr(path)
+        ndim = getattr(leaf, "ndim", 0)
+        if any(ks.endswith(t + ".w") or ks.endswith(t + ".b")
+               for t in _TP_COL) and ndim >= 1 and leaf.shape[0] % tp == 0:
+            return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+        if any(ks.endswith(t) for t in _TP_ROW) and ndim == 2 \
+                and leaf.shape[1] % tp == 0:
+            return NamedSharding(mesh, P(None, axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params_tp(params, mesh: Mesh, axis: str = "tp"):
+    """Place a param pytree onto the mesh with the tp placement table."""
+    return jax.tree_util.tree_map(
+        jax.device_put, params, tp_shardings(params, mesh, axis))
+
+
 def dp_shard_map(fn, mesh: Mesh, n_replicated: int, axis: str = "dp"):
     """shard_map wrapper for data-parallel eval: the LAST argument of ``fn``
     is batch-sharded on ``axis``; the first ``n_replicated`` arguments

@@ -44,6 +44,63 @@ def test_dp_eval_matches_single_device(rng):
     np.testing.assert_allclose(y_dp, y_single, rtol=2e-5, atol=2e-5)
 
 
+def test_tp_eval_matches_single_device(rng):
+    """2D dp×tp mesh quantized eval: Megatron-pattern placement (qkv/fc1
+    column-parallel, proj/fc2 row-parallel) + dp-sharded batch; GSPMD
+    inserts the all-reduces. Output must equal the single-device path."""
+    from adalog_tpu.parallel.mesh import make_mesh_2d, shard_params_tp, \
+        shard_batch
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh_2d(2, 4)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)).astype(np.float32))
+
+    y_single = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+
+    params_tp = shard_params_tp(params, mesh)
+    # the placement table really sharded the big weights...
+    blk = params_tp.blocks[0]
+    assert blk.mlp.fc1.w.sharding.spec == P("tp", None)
+    assert blk.mlp.fc2.w.sharding.spec == P(None, "tp")
+    assert blk.attn.qkv.w.sharding.spec == P("tp", None)
+    assert blk.attn.proj.w.sharding.spec == P(None, "tp")
+    # ...replicated the rest, and guarded non-divisible dims (10-class head)
+    assert blk.norm1.g.sharding.spec == P()
+    assert params_tp.head.w.sharding.spec == P()
+
+    @jax.jit
+    def f(xx):
+        return vit_forward(CFG, params_tp, xx, qstate, {"*": "quant"})
+
+    y_tp = np.asarray(f(shard_batch(x, mesh)))
+    np.testing.assert_allclose(y_tp, y_single, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_placement_rules_swin():
+    """The suffix rules are family-agnostic: Swin qkv/proj/fc1/fc2 weights
+    shard, norms/rel-pos tables replicate, and the (large-class) head
+    column-shards."""
+    from adalog_tpu.parallel.mesh import make_mesh_2d, tp_shardings
+    from adalog_tpu.models.zoo import build_model
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh_2d(2, 4)
+    spec, params = build_model("test_tiny_swin", seed=0)
+    sh = tp_shardings(params, mesh)
+    flat = {jax.tree_util.keystr(p): s
+            for p, s in jax.tree_util.tree_leaves_with_path(sh)}
+    qkv = [k for k in flat if k.endswith(".qkv.w")]
+    fc2 = [k for k in flat if k.endswith(".fc2.w")]
+    assert qkv and fc2
+    assert all(flat[k].spec == P("tp", None) for k in qkv)
+    assert all(flat[k].spec == P(None, "tp") for k in fc2)
+    norms = [k for k in flat if ".norm1.g" in k]
+    assert norms and all(flat[k].spec == P() for k in norms)
+
+
 def test_dp_shard_map_flash_eval_matches_single_device(rng, monkeypatch):
     """dp_shard_map eval with the fused attention kernels (interpret mode):
     each virtual device runs the full quantized forward — flash kernel
