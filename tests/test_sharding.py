@@ -79,6 +79,34 @@ def test_tp_eval_matches_single_device(rng):
     np.testing.assert_allclose(y_tp, y_single, rtol=2e-4, atol=2e-4)
 
 
+def test_tp_swin_eval_matches_single_device(rng):
+    """Swin quantized forward on the 2×4 dp×tp mesh: GSPMD must propagate
+    the tp weight shardings through window partition/merge reshapes and the
+    shifted-window rolls without changing the result."""
+    from adalog_tpu.parallel.mesh import make_mesh_2d, shard_params_tp, \
+        shard_batch
+    from adalog_tpu.models.zoo import build_model, model_forward_fn
+    from adalog_tpu.calib.init_state import init_qstate
+
+    mesh = make_mesh_2d(2, 4)
+    spec, params = build_model("test_tiny_swin", seed=0)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    qstate = init_qstate(spec, cfg, params)
+    fwd = model_forward_fn(spec)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+
+    y_single = np.asarray(fwd(spec.cfg, params, x, qstate, {"*": "quant"}))
+
+    params_tp = shard_params_tp(params, mesh)
+
+    @jax.jit
+    def f(xx):
+        return fwd(spec.cfg, params_tp, xx, qstate, {"*": "quant"})
+
+    y_tp = np.asarray(f(shard_batch(x, mesh)))
+    np.testing.assert_allclose(y_tp, y_single, rtol=2e-4, atol=2e-4)
+
+
 def test_tp_placement_rules_swin():
     """The suffix rules are family-agnostic: Swin qkv/proj/fc1/fc2 weights
     shard, norms/rel-pos tables replicate, and the (large-class) head
