@@ -66,19 +66,27 @@ def main():
             rng.standard_normal((bs, res, res, 3)).astype(np.float32))
 
         real_supports_flash = fq_attn.supports_flash
+        from adalog_tpu.ops import int8_linear
+        # (name, dtype, attn_kernels, flash, int8_linears); int8: true
+        # integer int8xint8->int32 MXU GEMMs for the uniform Linear sites
+        # (round-2 "no win" was a per-dispatch measurement — retest with
+        # chained true execution, alone and composed with flash attention)
         variants = [
-            ("fp32", jnp.float32, False, False),
-            ("bf16", jnp.bfloat16, False, False),
-            ("bf16+fqattn_sm", jnp.bfloat16, True, False),
-            ("bf16+fqattn_flash", jnp.bfloat16, True, True),
-            ("fp32+fqattn_flash", jnp.float32, True, True),
+            ("fp32", jnp.float32, False, False, False),
+            ("bf16", jnp.bfloat16, False, False, False),
+            ("bf16+fqattn_sm", jnp.bfloat16, True, False, False),
+            ("bf16+fqattn_flash", jnp.bfloat16, True, True, False),
+            ("fp32+fqattn_flash", jnp.float32, True, True, False),
+            ("bf16+int8", jnp.bfloat16, False, False, True),
+            ("bf16+int8+flash", jnp.bfloat16, True, True, True),
         ]
         if not chain:
             # big models: bf16-only (fp32 doubles the compile load on the
             # fragile remote worker for a variant nobody ships)
             variants = [v for v in variants if v[1] == jnp.bfloat16]
-        for name, dtype, attn, flash in variants:
+        for name, dtype, attn, flash, int8 in variants:
             fq_attn.set_enabled(attn)
+            int8_linear.set_enabled(int8)
             fq_attn.supports_flash = (real_supports_flash if flash
                                       else lambda *a: False)
             p = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
@@ -123,6 +131,7 @@ def main():
                       flush=True)
             finally:
                 fq_attn.set_enabled(False)
+                int8_linear.set_enabled(False)
                 fq_attn.supports_flash = real_supports_flash
         del params, qstate
     print("EVAL_RESULT " + json.dumps(results), flush=True)
