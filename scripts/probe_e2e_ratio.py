@@ -27,12 +27,14 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
-import test_ref_e2e_differential as T  # noqa: E402  (sets up cpu platform)
-
-
 def main():
     seeds = [int(s) for s in sys.argv[1:]] or list(range(1, 13))
     bits = int(os.environ.get("PROBE_BITS", "4"))
+    family = os.environ.get("PROBE_FAMILY", "vit")
+    if family == "swin":
+        import test_ref_swin_e2e_differential as T
+    else:
+        import test_ref_e2e_differential as T
     ratios = []
     for seed in seeds:
         rng = np.random.default_rng(seed)
@@ -43,7 +45,7 @@ def main():
               f"q_err_ref {r['q_err_ref']:.5f} ratio {ratio:.4f} "
               f"agree {r['agree']:.2f}", flush=True)
     ratios = np.asarray(ratios)
-    print(f"RESULT bits={bits} n={len(ratios)} min {ratios.min():.4f} "
+    print(f"RESULT family={family} bits={bits} n={len(ratios)} min {ratios.min():.4f} "
           f"max {ratios.max():.4f} geomean {np.exp(np.mean(np.log(ratios))):.4f}")
 
 

@@ -63,9 +63,10 @@ def make_ref_cfg(bits: int):
     return RefCfg
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("bits", [4, 6])
-def test_swin_full_pipeline_vs_reference(rng, bits):
+def run_pipelines(rng, bits):
+    """Run the reference Swin pipeline (actual upstream code) and ours on
+    identical weights/data; return comparison statistics. Shared by the test
+    below and scripts/probe_e2e_ratio.py (seed-sweep tolerance evidence)."""
     ref = load_reference_full()
     tm = make_tiny_timm_swin(IMG, PATCH, DIM, DEPTHS, HEADS, WINDOW,
                              CLASSES, seed=0)
@@ -114,29 +115,7 @@ def test_swin_full_pipeline_vs_reference(rng, bits):
                      calib.layout["layers.1.downsample.reduction"].param_path)
     assert red_p.b is not None
     ref_red_b = tm.layers[1].downsample.reduction.bias.detach().numpy()
-    # both folds derive bias = W'·b from their own channel selections;
-    # magnitudes must be in the same regime (exactness is covered by the
-    # unit-level fold differential, test_ref_differential.py)
-    assert np.linalg.norm(np.asarray(red_p.b) - ref_red_b) <= \
-        max(1.0, np.linalg.norm(ref_red_b))
 
-    # quality equivalence of the two quantized models vs their FP32 models
-    q_err_ref = float(np.abs(ref_logits - fp_ref).mean())
-    q_err_ours = float(np.abs(our_logits - fp_ours).mean())
-    assert q_err_ours <= q_err_ref * 1.25 and q_err_ref <= q_err_ours * 1.25, \
-        (q_err_ours, q_err_ref)
-
-    # floor 0.45: n=16 random-init argmax is tie-dominated when trajectories
-    # fork (see the ViT e2e test / ADALOG_TEST_SEED sweep); q_err binds
-    agree = (our_logits.argmax(-1) == ref_logits.argmax(-1)).mean()
-    assert agree >= 0.45, (agree, our_logits.argmax(-1),
-                           ref_logits.argmax(-1))
-
-    # per-site spot checks: AdaLog integer bases at every post-softmax
-    # matmul and fc2 site. The FPCS joint search forks on fp32 near-ties on
-    # rare (seed, site) combinations (the seed sweep saw one ±1-step fc2
-    # fork across 8 sites at seed 4) — require a large majority exact;
-    # quality equivalence above stays binding.
     pairs = []
     for i, d in enumerate(DEPTHS):
         for j in range(d):
@@ -145,5 +124,40 @@ def test_swin_full_pipeline_vs_reference(rng, bits):
                 qstate[f"layers.{i}.blocks.{j}.attn.matmul2"].Aq.log_q)))
             pairs.append((float(blk.mlp.fc2.a_quantizer.q), float(
                 qstate[f"layers.{i}.blocks.{j}.mlp.fc2"].aq.log_q)))
-    exact = sum(r == o for r, o in pairs)
-    assert exact >= int(np.ceil(len(pairs) * 0.75)), pairs
+
+    return dict(
+        q_err_ours=float(np.abs(our_logits - fp_ours).mean()),
+        q_err_ref=float(np.abs(ref_logits - fp_ref).mean()),
+        agree=float((our_logits.argmax(-1) == ref_logits.argmax(-1)).mean()),
+        pairs=pairs, our_logits=our_logits, ref_logits=ref_logits,
+        red_b=np.asarray(red_p.b), ref_red_b=ref_red_b)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bits", [4, 6])
+def test_swin_full_pipeline_vs_reference(rng, bits):
+    r = run_pipelines(rng, bits)
+
+    # both folds derive bias = W'·b from their own channel selections;
+    # magnitudes must be in the same regime (exactness is covered by the
+    # unit-level fold differential, test_ref_differential.py)
+    assert np.linalg.norm(r["red_b"] - r["ref_red_b"]) <= \
+        max(1.0, np.linalg.norm(r["ref_red_b"]))
+
+    # quality equivalence of the two quantized models vs their FP32 models
+    q_err_ours, q_err_ref = r["q_err_ours"], r["q_err_ref"]
+    assert q_err_ours <= q_err_ref * 1.25 and q_err_ref <= q_err_ours * 1.25, \
+        (q_err_ours, q_err_ref)
+
+    # floor 0.45: n=16 random-init argmax is tie-dominated when trajectories
+    # fork (see the ViT e2e test / ADALOG_TEST_SEED sweep); q_err binds
+    assert r["agree"] >= 0.45, (r["agree"], r["our_logits"].argmax(-1),
+                                r["ref_logits"].argmax(-1))
+
+    # per-site spot checks: AdaLog integer bases at every post-softmax
+    # matmul and fc2 site. The FPCS joint search forks on fp32 near-ties on
+    # rare (seed, site) combinations (the seed sweep saw one ±1-step fc2
+    # fork across 8 sites at seed 4) — require a large majority exact;
+    # quality equivalence above stays binding.
+    exact = sum(rq == oq for rq, oq in r["pairs"])
+    assert exact >= int(np.ceil(len(r["pairs"]) * 0.75)), r["pairs"]
