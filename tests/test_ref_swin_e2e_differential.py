@@ -144,7 +144,10 @@ def test_swin_full_pipeline_vs_reference(rng, bits):
     assert np.linalg.norm(r["red_b"] - r["ref_red_b"]) <= \
         max(1.0, np.linalg.norm(r["ref_red_b"]))
 
-    # quality equivalence of the two quantized models vs their FP32 models
+    # quality equivalence of the two quantized models vs their FP32 models.
+    # Tolerance evidence (scripts/probe_e2e_ratio.py PROBE_FAMILY=swin, W4A4
+    # seeds 1-8): ratio min 0.938 / max 1.080 / geomean 0.987 — symmetric
+    # near-tie noise, comfortably inside 1.25.
     q_err_ours, q_err_ref = r["q_err_ours"], r["q_err_ref"]
     assert q_err_ours <= q_err_ref * 1.25 and q_err_ref <= q_err_ours * 1.25, \
         (q_err_ours, q_err_ref)
