@@ -130,8 +130,9 @@ def test_full_pipeline_vs_reference(rng, bits):
     # model, and mostly agree in prediction. Tolerance calibrated by the
     # seed sweep (scripts/probe_e2e_ratio.py): W4A4 seeds 1-12 ratio
     # min 0.945 / max 1.227 / geomean 1.049; W6A6 seeds 1-8 min 0.869 /
-    # max 1.199 / geomean 1.039 — noise in BOTH directions at these tiny
-    # random-init shapes; 1.3 bounds the observed max.
+    # max 1.199 / geomean 1.039; W3A3 seeds 1-8 min 0.889 / max 1.025 /
+    # geomean 0.964 — noise in BOTH directions at these tiny random-init
+    # shapes; 1.3 bounds the observed max.
     q_err_ours, q_err_ref = r["q_err_ours"], r["q_err_ref"]
     assert q_err_ours <= q_err_ref * 1.3 and q_err_ref <= q_err_ours * 1.3, \
         (q_err_ours, q_err_ref)
