@@ -254,10 +254,18 @@ def main(args):
             dp_n = eval_mesh_tp.shape["dp"]
 
             def f_2d(x):
+                # remainder batches are padded to a dp multiple and sliced
+                # back — a single-device fallback would materialize all
+                # unsharded weights on one chip, defeating tp for exactly
+                # the models that need it
                 x = jnp.asarray(x)
-                if x.shape[0] % dp_n == 0:
-                    return f_tp(shard_batch(x, eval_mesh_tp))
-                return f(x)       # remainder batch: single-program path
+                n = x.shape[0]
+                pad = (-n) % dp_n
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+                out = f_tp(shard_batch(x, eval_mesh_tp))
+                return out[:n] if pad else out
             return f_2d
 
         def local(pp, lqs, x):

@@ -66,8 +66,12 @@ def replicate(tree, mesh: Mesh):
 def make_mesh_2d(dp_size: int, tp_size: int,
                  axes=("dp", "tp")) -> Mesh:
     """2D device mesh: data-parallel × tensor-parallel."""
-    devices = jax.devices()[:dp_size * tp_size]
-    return Mesh(np.array(devices).reshape(dp_size, tp_size), axes)
+    devices = jax.devices()
+    need = dp_size * tp_size
+    if len(devices) < need:
+        raise ValueError(f"make_mesh_2d({dp_size}, {tp_size}) needs {need} "
+                         f"devices; only {len(devices)} available")
+    return Mesh(np.array(devices[:need]).reshape(dp_size, tp_size), axes)
 
 
 # Megatron-pattern tensor-parallel placement for the transformer zoo

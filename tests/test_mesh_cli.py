@@ -25,6 +25,28 @@ def _leaves(tree):
 
 
 @pytest.mark.slow
+def test_cli_mesh_tp_eval(tmp_path):
+    """--mesh-tp CLI glue: 2D mesh construction, Pallas gating, tp-placed
+    eval with a non-dp-divisible final batch (pad+slice path), and the
+    divisibility guard."""
+    tmp_path = str(tmp_path)
+    config = os.path.join(tmp_path, "tiny_cfg.py")
+    _write_tiny_config(config)
+
+    # val batch 8 with dp_n=2 divides; batch 3 exercises the pad+slice path
+    args = _args(tmp_path, config, calibrate=True, mesh_devices=8,
+                 mesh_tp=4, val_batch_size=3,
+                 output_dir=os.path.join(tmp_path, "out_tp"))
+    params, qstate = main(args)
+    assert params is not None and qstate
+
+    bad = _args(tmp_path, config, calibrate=True, mesh_devices=8, mesh_tp=3,
+                output_dir=os.path.join(tmp_path, "out_bad"))
+    with pytest.raises(SystemExit):
+        main(bad)
+
+
+@pytest.mark.slow
 def test_cli_mesh_matches_single_device(tmp_path):
     tmp_path = str(tmp_path)
     config = os.path.join(tmp_path, "tiny_cfg.py")
