@@ -205,15 +205,12 @@ def main(args):
         log.info("eval on a 2D dp×tp mesh: %s", eval_mesh_tp)
 
     if cfg.use_pallas:
-        if eval_mesh_tp is not None:
-            log.info("mesh-tp active: Pallas eval kernels disabled (an "
-                     "opaque pallas_call cannot be tp-partitioned by GSPMD)")
-        else:
-            # Under a dp mesh the eval forward runs inside shard_map
-            # (below), so the opaque pallas_call executes per-device on the
-            # local batch shard — GSPMD never sees it, no all-gathers.
-            from adalog_tpu.ops import fq_attn
-            fq_attn.set_enabled(True)
+        # Under a mesh the eval forward runs inside shard_map (below) — dp
+        # shards the batch, tp shards weights/heads with in-forward psums
+        # (parallel/tp.py) — so the opaque pallas_call executes per-device
+        # on local data and GSPMD never sees it. Kernels stay on.
+        from adalog_tpu.ops import fq_attn
+        fq_attn.set_enabled(True)
     if getattr(cfg, "use_pallas_gemm", False):
         if mesh is None:
             from adalog_tpu.ops import fq_gemm
@@ -238,18 +235,15 @@ def main(args):
         from adalog_tpu.parallel.mesh import dp_shard_map, shard_batch
 
         if eval_mesh_tp is not None:
-            # 2D dp×tp: weights physically sharded (Megatron placement),
-            # batch on dp; GSPMD lays the all-reduces on ICI. The opaque
-            # Pallas kernels cannot run under GSPMD tp partitioning.
-            from adalog_tpu.parallel.mesh import shard_params_tp
-            p_tp = shard_params_tp(p, eval_mesh_tp)
-
-            @jax.jit
-            def f_tp(x):
-                x = x.astype(dtype)
-                pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), p_tp)
-                return fwd(spec.cfg, pp, x, qs,
-                           {"*": "quant"}).astype(jnp.float32)
+            # 2D dp×tp inside shard_map: Megatron placement (qkv/fc1
+            # column-parallel, proj/fc2 row-parallel with in-forward psum
+            # over ICI), per-head quantizer state sharded with the heads,
+            # fused Pallas attention kernels active per-device.
+            from adalog_tpu.parallel.tp import tp_eval_fn
+            f_tp, tp_plan = tp_eval_fn(spec, fwd, p, qs, eval_mesh_tp,
+                                       dtype=dtype)
+            log.info("shard_map tp eval: %d column / %d row sites sharded",
+                     len(tp_plan.col_sites), len(tp_plan.row_sites))
 
             dp_n = eval_mesh_tp.shape["dp"]
 

@@ -19,6 +19,7 @@ passes (utils/calibrator.py:44-47).
 
 from __future__ import annotations
 
+import contextvars
 from typing import Optional
 
 import jax
@@ -93,6 +94,41 @@ class MatMulSite:
 
 
 # ---------------------------------------------------------------------------
+# Tensor-parallel context (shard_map eval path)
+# ---------------------------------------------------------------------------
+
+# When the eval forward runs inside jax.shard_map over a tensor-parallel mesh
+# axis (parallel/tp.py), row-parallel linears (proj/fc2 in the Megatron
+# placement) hold an input-feature shard of the weight: their local matmul
+# output is a PARTIAL sum that must be psum'd over the tp axis before the
+# bias is added (once, on the full result). The context carries (axis_name,
+# frozenset of row-parallel site names); it is consulted at trace time only.
+_TP_ROW: contextvars.ContextVar = contextvars.ContextVar(
+    "adalog_tp_row", default=None)
+
+
+def tp_row_axis(name: Optional[str]) -> Optional[str]:
+    ctx = _TP_ROW.get()
+    if ctx is not None and name is not None and name in ctx[1]:
+        return ctx[0]
+    return None
+
+
+class tp_row_context:
+    """Trace-time context manager marking ``names`` as row-parallel on
+    mesh axis ``axis`` (used by parallel/tp.py inside its shard_map body)."""
+
+    def __init__(self, axis: str, names):
+        self.axis, self.names = axis, frozenset(names)
+
+    def __enter__(self):
+        self._tok = _TP_ROW.set((self.axis, self.names))
+
+    def __exit__(self, *exc):
+        _TP_ROW.reset(self._tok)
+
+
+# ---------------------------------------------------------------------------
 # Functional forwards
 # ---------------------------------------------------------------------------
 
@@ -110,14 +146,21 @@ def quant_linear_weight(p: LinearP, site: LinearSite, *, soft: bool = False,
 
 
 def qlinear(p: LinearP, site: Optional[LinearSite], x, *, mode: str = "raw",
-            training: bool = False, soft: bool = False):
+            training: bool = False, soft: bool = False,
+            name: Optional[str] = None):
     """y = x @ W^T + b with optional fake quantization of W and/or x.
 
     On TPU eval (when enabled), supported sites route through the Pallas fused
     fake-quant GEMM (ops/fq_gemm.py): weight dequantized once, activation
     quantize fused into the MXU matmul.
+
+    ``name`` identifies the site for the tensor-parallel shard_map path: when
+    the tp context marks it row-parallel, the local partial product is psum'd
+    over the tp axis before the (replicated) bias is added once.
     """
-    if site is not None and mode == "quant" and not training:
+    row_axis = tp_row_axis(name)
+    if site is not None and mode == "quant" and not training \
+            and row_axis is None:
         from adalog_tpu.ops import int8_linear
         if int8_linear.supports(site, mode):
             return int8_linear.int8_qlinear(p, site, x)
@@ -126,7 +169,7 @@ def qlinear(p: LinearP, site: Optional[LinearSite], x, *, mode: str = "raw",
         w = quant_linear_weight(p, site, soft=soft, training=training)
     if site is not None and mode in ("quant", "a_only"):
         from adalog_tpu.ops import fq_gemm
-        if not training and fq_gemm.supports(site, mode):
+        if not training and row_axis is None and fq_gemm.supports(site, mode):
             lead = x.shape[:-1]
             y = fq_gemm.fq_gemm(
                 x.reshape(-1, x.shape[-1]), w.T,
@@ -141,6 +184,8 @@ def qlinear(p: LinearP, site: Optional[LinearSite], x, *, mode: str = "raw",
         x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=x.dtype,
         precision=None if x.dtype == jnp.bfloat16 else HIGHEST)
+    if row_axis is not None:
+        y = jax.lax.psum(y, row_axis)
     if p.b is not None:
         y = y + p.b
     return y

@@ -180,8 +180,12 @@ def swin_window_attention(ap: WindowAttentionP, qstate, prefix: str, x, heads,
 
     nm = f"{prefix}.qkv"
     qkv = qlinear(ap.qkv, site_of(qstate, nm), x, mode=mode_of(modes, nm),
-                  training=training, soft=soft)
+                  training=training, soft=soft, name=nm)
     _tap(taps, nm, x, qkv)
+    # local head count from the qkv output width (see vit.py): under the
+    # tensor-parallel shard_map eval this is heads/tp, and ap.rel_pos_bias
+    # arrives sliced to the same local heads
+    heads = qkv.shape[-1] // (3 * hd)
     qkv = qkv.reshape(B_, N, 3, heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     q = q * (hd ** -0.5)
@@ -226,11 +230,11 @@ def swin_window_attention(ap: WindowAttentionP, qstate, prefix: str, x, heads,
         attn = jax.nn.softmax(attn, axis=-1)
         out = qmatmul(m2_site, attn, v, mode=m2_mode, training=training)
         _tap(taps, nm2, attn, v, out)
-    out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+    out = out.transpose(0, 2, 1, 3).reshape(B_, N, heads * hd)
 
     nm = f"{prefix}.proj"
     y = qlinear(ap.proj, site_of(qstate, nm), out, mode=mode_of(modes, nm),
-                training=training, soft=soft)
+                training=training, soft=soft, name=nm)
     _tap(taps, nm, out, y)
     return y
 
@@ -259,12 +263,12 @@ def swin_block(cfg: SwinConfig, bp: SwinBlockP, qstate, prefix: str,
     h = layer_norm(bp.norm2, x)
     nm = f"{prefix}.mlp.fc1"
     m = qlinear(bp.fc1, site_of(qstate, nm), h, mode=mode_of(modes, nm),
-                training=training, soft=soft)
+                training=training, soft=soft, name=nm)
     _tap(taps, nm, h, m)
     m = gelu(m)
     nm = f"{prefix}.mlp.fc2"
     m2 = qlinear(bp.fc2, site_of(qstate, nm), m, mode=mode_of(modes, nm),
-                 training=training, soft=soft)
+                 training=training, soft=soft, name=nm)
     _tap(taps, nm, m, m2)
     return x + m2
 

@@ -102,12 +102,16 @@ def _tap(taps, name, *tensors):
 def vit_attention(cfg: ViTConfig, ap: AttentionP, qstate, prefix: str, x,
                   modes, taps, *, training: bool = False, soft: bool = False):
     B, N, C = x.shape
-    H, hd = cfg.heads, cfg.head_dim
+    hd = cfg.head_dim
 
     nm = f"{prefix}.qkv"
     qkv = qlinear(ap.qkv, site_of(qstate, nm), x, mode=mode_of(modes, nm),
-                  training=training, soft=soft)
+                  training=training, soft=soft, name=nm)
     _tap(taps, nm, x, qkv)
+    # head count from the qkv output width, not cfg.heads: under the
+    # tensor-parallel shard_map eval (parallel/tp.py) the local qkv shard
+    # holds heads/tp heads in chunk-interleaved [q|k|v] row order
+    H = qkv.shape[-1] // (3 * hd)
     qkv = qkv.reshape(B, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
     # q/k norms (wrap_net.py:24); getattr: params unpickled from pre-field
@@ -146,11 +150,11 @@ def vit_attention(cfg: ViTConfig, ap: AttentionP, qstate, prefix: str, x,
         attn = jax.nn.softmax(attn, axis=-1)
         out = qmatmul(m2_site, attn, v, mode=m2_mode, training=training)
         _tap(taps, nm2, attn, v, out)
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, H * hd)
 
     nm = f"{prefix}.proj"
     y = qlinear(ap.proj, site_of(qstate, nm), out, mode=mode_of(modes, nm),
-                training=training, soft=soft)
+                training=training, soft=soft, name=nm)
     _tap(taps, nm, out, y)
     return y
 
@@ -159,12 +163,12 @@ def vit_mlp(mp: MlpP, qstate, prefix: str, x, modes, taps, *,
             training: bool = False, soft: bool = False):
     nm = f"{prefix}.fc1"
     h = qlinear(mp.fc1, site_of(qstate, nm), x, mode=mode_of(modes, nm),
-                training=training, soft=soft)
+                training=training, soft=soft, name=nm)
     _tap(taps, nm, x, h)
     h = gelu(h)
     nm = f"{prefix}.fc2"
     y = qlinear(mp.fc2, site_of(qstate, nm), h, mode=mode_of(modes, nm),
-                training=training, soft=soft)
+                training=training, soft=soft, name=nm)
     _tap(taps, nm, h, y)
     return y
 

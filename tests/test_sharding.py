@@ -238,3 +238,149 @@ def test_graft_entry_traces():
     fn, args = ge.entry()
     out = jax.eval_shape(fn, *args)
     assert out.shape == (8, 1000)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel shard_map eval (parallel/tp.py): Megatron placement with
+# the fused Pallas attention kernels kept active
+# ---------------------------------------------------------------------------
+
+def _quant_qstate(spec, params, seed=0):
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    qstate = init_qstate(spec, cfg, params)
+    # realistic act-quantizer params so quantization does real work
+    for nm, site in list(qstate.items()):
+        if hasattr(site, "aq") and site.aq.kind == "uniform" and \
+                site.aq.zero_point is not None:
+            qstate[nm] = site.replace(aq=site.aq.replace(
+                scale=jnp.full_like(site.aq.scale, 0.05),
+                zero_point=jnp.full_like(site.aq.zero_point, 8.0)))
+    return qstate
+
+
+def test_tp_shard_map_vit_matches_single_device(rng):
+    """shard_map dp×tp eval: qkv chunk-interleaved column-parallel, proj/fc2
+    row-parallel with in-forward psum, per-head matmul quantizer scales
+    sharded. Must equal the single-device quantized forward."""
+    from adalog_tpu.parallel.mesh import make_mesh_2d, shard_batch
+    from adalog_tpu.parallel.tp import tp_eval_fn, make_tp_plan
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh_2d(4, 2)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = _quant_qstate(TinySpec, params)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)).astype(np.float32))
+
+    y_single = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+
+    plan = make_tp_plan(TinySpec, qstate, 2)
+    assert plan.col_sites.get("blocks.0.attn.qkv") == 3
+    assert "blocks.0.attn.proj" in plan.row_sites
+    assert "blocks.0.mlp.fc2" in plan.row_sites
+    assert "blocks.0.attn" in plan.attn_sharded
+    # per-head matmul scales shard on the head axis
+    qsp = plan.qstate_specs(qstate)
+    m1 = qstate["blocks.0.attn.matmul1"]
+    if m1.Aq.scale.ndim == 4:
+        assert qsp["blocks.0.attn.matmul1"].Aq.scale == \
+            P(None, "tp", None, None)
+
+    run, plan2 = tp_eval_fn(TinySpec, vit_forward, params, qstate, mesh)
+    y_tp = np.asarray(run(shard_batch(x, mesh)))
+    np.testing.assert_allclose(y_tp, y_single, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_shard_map_flash_kernels_active(rng, monkeypatch):
+    """The whole point of the shard_map tp path: the fused flash attention
+    kernel dispatches per-device on the LOCAL heads and the result matches
+    the single-device XLA chain."""
+    from adalog_tpu.parallel.mesh import make_mesh_2d, shard_batch
+    from adalog_tpu.parallel.tp import tp_eval_fn
+    from adalog_tpu.ops import fq_attn
+
+    mesh = make_mesh_2d(2, 2)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = _quant_qstate(TinySpec, params)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)).astype(np.float32))
+
+    y_single = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+
+    fq_attn.INTERPRET = True
+    monkeypatch.setattr(fq_attn, "enabled", lambda: True)
+    calls = []
+    real = fq_attn.run_flash
+
+    def spy(m1, m2, q, kT, v, **kw):
+        calls.append(q.shape)
+        return real(m1, m2, q, kT, v, **kw)
+
+    monkeypatch.setattr(fq_attn, "run_flash", spy)
+    try:
+        run, _ = tp_eval_fn(TinySpec, vit_forward, params, qstate, mesh)
+        y_tp = np.asarray(run(shard_batch(x, mesh)))
+    finally:
+        fq_attn.INTERPRET = False
+
+    assert calls, "flash kernel was not dispatched under shard_map tp"
+    # traced on the LOCAL head count (2 heads / tp=2 -> 1 head per device)
+    assert all(s[1] == CFG.heads // 2 for s in calls)
+    np.testing.assert_allclose(y_tp, y_single, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_shard_map_fallback_nondivisible_heads(rng):
+    """tp=4 does not divide heads=2: attention falls back to replicated
+    compute while the MLP (hidden 128 % 4 == 0) still shards. Output must
+    be unchanged."""
+    from adalog_tpu.parallel.mesh import make_mesh_2d, shard_batch
+    from adalog_tpu.parallel.tp import tp_eval_fn, make_tp_plan
+
+    mesh = make_mesh_2d(2, 4)
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    qstate = _quant_qstate(TinySpec, params)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)).astype(np.float32))
+
+    plan = make_tp_plan(TinySpec, qstate, 4)
+    assert not plan.attn_sharded
+    assert "blocks.0.attn.proj" not in plan.row_sites
+    assert plan.col_sites.get("blocks.0.mlp.fc1") == 1
+    assert "blocks.0.mlp.fc2" in plan.row_sites
+
+    y_single = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+    run, _ = tp_eval_fn(TinySpec, vit_forward, params, qstate, mesh)
+    y_tp = np.asarray(run(shard_batch(x, mesh)))
+    np.testing.assert_allclose(y_tp, y_single, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_shard_map_swin_matches_single_device(rng):
+    """Swin under shard_map tp=2: both stages shard (heads 2 and 4), the
+    pre-gathered rel-pos bias shards on its head axis, shifted-window masks
+    fold per local head. Must equal the single-device path."""
+    from adalog_tpu.parallel.mesh import make_mesh_2d, shard_batch
+    from adalog_tpu.parallel.tp import tp_eval_fn, make_tp_plan
+    from adalog_tpu.models.zoo import build_model, model_forward_fn
+    from adalog_tpu.calib.init_state import init_qstate as init_qs
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh_2d(4, 2)
+    spec, params = build_model("test_tiny_swin", seed=0)
+    qstate = _quant_qstate(spec, params)
+    fwd = model_forward_fn(spec)
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+
+    y_single = np.asarray(fwd(spec.cfg, params, x, qstate, {"*": "quant"}))
+
+    plan = make_tp_plan(spec, qstate, 2)
+    assert "layers.0.blocks.0.attn" in plan.attn_sharded
+    assert "layers.1.blocks.1.attn" in plan.attn_sharded
+    psp = plan.params_specs(plan.permute_params(params))
+    flat = {jax.tree_util.keystr(p).replace("[", ".").replace("]", ""): s
+            for p, s in jax.tree_util.tree_leaves_with_path(psp)}
+    assert flat[".stages.0.blocks.0.attn.rel_pos_bias"] == \
+        P(None, "tp", None, None)
+    assert flat[".stages.1.blocks.0.attn.qkv.w"] == P("tp", None)
+    assert flat[".stages.1.blocks.0.fc2.w"] == P(None, "tp")
+    assert flat[".head.w"] == P()
+
+    run, _ = tp_eval_fn(spec, fwd, params, qstate, mesh)
+    y_tp = np.asarray(run(shard_batch(x, mesh)))
+    np.testing.assert_allclose(y_tp, y_single, rtol=2e-4, atol=2e-4)
