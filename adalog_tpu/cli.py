@@ -222,64 +222,12 @@ def main(args):
         int8_linear.set_enabled(True)
 
     def eval_forward(p, qs):
-        dtype = jnp.bfloat16 if cfg.eval_dtype == "bfloat16" else jnp.float32
-
-        @jax.jit
-        def f(x):
-            x = x.astype(dtype)
-            pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), p)
-            return fwd(spec.cfg, pp, x, qs, {"*": "quant"}).astype(jnp.float32)
-
-        if mesh is None:
-            return f
-        from adalog_tpu.parallel.mesh import dp_shard_map, shard_batch
-
-        if eval_mesh_tp is not None:
-            # 2D dp×tp inside shard_map: Megatron placement (qkv/fc1
-            # column-parallel, proj/fc2 row-parallel with in-forward psum
-            # over ICI), per-head quantizer state sharded with the heads,
-            # fused Pallas attention kernels active per-device.
-            from adalog_tpu.parallel.tp import tp_eval_fn
-            f_tp, tp_plan = tp_eval_fn(spec, fwd, p, qs, eval_mesh_tp,
-                                       dtype=dtype)
-            log.info("shard_map tp eval: %d column / %d row sites sharded",
-                     len(tp_plan.col_sites), len(tp_plan.row_sites))
-
-            dp_n = eval_mesh_tp.shape["dp"]
-
-            def f_2d(x):
-                # remainder batches are padded to a dp multiple and sliced
-                # back — a single-device fallback would materialize all
-                # unsharded weights on one chip, defeating tp for exactly
-                # the models that need it
-                x = jnp.asarray(x)
-                n = x.shape[0]
-                pad = (-n) % dp_n
-                if pad:
-                    x = jnp.concatenate(
-                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-                out = f_tp(shard_batch(x, eval_mesh_tp))
-                return out[:n] if pad else out
-            return f_2d
-
-        def local(pp, lqs, x):
-            return fwd(spec.cfg, pp, x, lqs,
-                       {"*": "quant"}).astype(jnp.float32)
-
-        sm = dp_shard_map(local, mesh, n_replicated=2)
-
-        @jax.jit
-        def f_sm(x):
-            x = x.astype(dtype)
-            pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), p)
-            return sm(pp, qs, x)
-
-        def f_dp(x):
-            x = jnp.asarray(x)
-            if x.shape[0] % mesh.devices.size == 0:
-                return f_sm(shard_batch(x, mesh))
-            return f(x)           # remainder batch: single-program path
-        return f_dp
+        # the serving API (serve.py) owns the mesh-layout dispatch:
+        # single-device jit, dp shard_map, or dp×tp shard_map (parallel/tp.py)
+        from adalog_tpu.serve import make_predictor
+        return make_predictor(
+            spec, p, qs, eval_dtype=cfg.eval_dtype,
+            mesh=eval_mesh_tp if eval_mesh_tp is not None else mesh)
 
     def load_any_checkpoint(path):
         """Route by format: the reference's torch.save(state_dict) .pth/.bin
