@@ -170,10 +170,16 @@ def make_tp_plan(spec, qstate, tp: int, axis: str = "tp") -> TPPlan:
             col[f"{pre}.mlp.fc1"] = 1
             row.add(f"{pre}.mlp.fc2")
     # only sites that exist (and are LinearSites) participate; a raw model
-    # with no qstate still shards the weights
+    # with no qstate still shards the weights. Dropping a qkv also drops its
+    # paired proj/attn entries — a half-sharded attention (replicated qkv,
+    # row-sharded proj) would be shape-inconsistent.
     for nm in list(col):
         if nm in qstate and not isinstance(qstate[nm], LinearSite):
             del col[nm]                           # pragma: no cover
+            if nm.endswith(".attn.qkv"):
+                pre = nm[:-len(".qkv")]
+                row.discard(pre + ".proj")
+                attn.discard(pre)
     return TPPlan(axis=axis, tp=tp, family=fam, col_sites=col,
                   row_sites=frozenset(row), attn_sharded=frozenset(attn))
 
@@ -187,10 +193,22 @@ def tp_eval_fn(spec, fwd, params, qstate, mesh: Mesh, *, axis: str = "tp",
     runs the full forward — fused Pallas attention kernels included — under
     the tp_row_context that psums row-parallel partial outputs.
     """
+    from jax.sharding import NamedSharding
+
     plan = make_tp_plan(spec, qstate, mesh.shape[axis], axis)
     p_perm = plan.permute_params(params)
     pspecs = plan.params_specs(p_perm)
     qspecs = plan.qstate_specs(qstate)
+    # place params/qstate onto the mesh ONCE at build time — otherwise every
+    # predict call re-transfers the whole parameter set from the default
+    # device into the shard_map layout
+    p_perm = jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        p_perm, pspecs)
+    q_dev = {k: jax.tree_util.tree_map(
+                 lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+                 v, qspecs[k])
+             for k, v in qstate.items()}
 
     def local(pp, lqs, x):
         with tp_row_context(axis, plan.row_sites):
@@ -205,6 +223,6 @@ def tp_eval_fn(spec, fwd, params, qstate, mesh: Mesh, *, axis: str = "tp",
     f = jax.jit(sm)
 
     def run(x):
-        return f(p_perm, qstate, x)
+        return f(p_perm, q_dev, x)
 
     return run, plan

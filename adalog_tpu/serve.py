@@ -123,14 +123,20 @@ def load_quantized(model: str, checkpoint: str, *, config=None,
     if eval_dtype is None:
         eval_dtype = getattr(cfg, "eval_dtype", "float32")
 
-    spec, params = build_model(model, seed=0, checkpoint_path=checkpoint_path)
-
     if checkpoint.endswith((".pth", ".pt", ".bin")):
+        # reference torch state_dicts patch fp params, so those are needed
+        from adalog_tpu.models.zoo import build_model
         from adalog_tpu.utils.ref_checkpoint import load_reference_checkpoint
+        spec, params = build_model(model, seed=0,
+                                   checkpoint_path=checkpoint_path)
         params, qstate = load_reference_checkpoint(spec, cfg, checkpoint,
                                                    params)
     else:
+        # native .ckpt carries the full params — don't random-init a large
+        # model only to throw the arrays away
+        from adalog_tpu.models.zoo import model_spec
         from adalog_tpu.utils.checkpoint import load_checkpoint
+        spec = model_spec(model)
         params, qstate, _ = load_checkpoint(checkpoint)
 
     enable = cfg.use_pallas if use_pallas is None else use_pallas
@@ -139,9 +145,14 @@ def load_quantized(model: str, checkpoint: str, *, config=None,
         fq_attn.set_enabled(True)
 
     mesh = None
+    if mesh_tp > 1 and not mesh_devices:
+        raise ValueError("mesh_tp > 1 requires mesh_devices (the total "
+                         "device count, dp*tp)")
     if mesh_devices:
         n_local = len(jax.devices())
         n = n_local if mesh_devices == -1 else mesh_devices
+        if n > n_local:
+            raise ValueError(f"mesh_devices={n} > {n_local} local devices")
         if mesh_tp > 1:
             if n % mesh_tp:
                 raise ValueError(f"mesh_tp={mesh_tp} must divide "
