@@ -85,3 +85,31 @@ def test_load_quantized_roundtrip(rng, tmp_path, monkeypatch):
     y_ref = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
     np.testing.assert_allclose(np.asarray(pred(x)), y_ref,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_load_quantized_reference_pth(rng, tmp_path, monkeypatch):
+    """load_quantized routes .pth through the reference-format loader and
+    the resulting predictor matches the in-memory quantized forward."""
+    torch = __import__("torch")
+    from adalog_tpu.utils.ref_checkpoint import (
+        export_reference_state_dict, load_reference_checkpoint)
+    from adalog_tpu.models import zoo
+
+    params, qstate, x = _fixture(rng)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    sd = export_reference_state_dict(TinySpec, cfg, params, qstate)
+    pth = str(tmp_path / "ref.pth")
+    torch.save({k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, pth)
+
+    monkeypatch.setitem(
+        zoo.MODEL_ZOO, "test_tiny",
+        zoo.ModelSpec(name="test_tiny", family="vit", timm_id="test_tiny",
+                      cfg=CFG))
+    pred, spec, p2, qs2 = load_quantized("test_tiny", pth, config=cfg)
+
+    y_ref = np.asarray(vit_forward(CFG, p2, x, qs2, {"*": "quant"}))
+    np.testing.assert_allclose(np.asarray(pred(x)), y_ref,
+                               rtol=1e-6, atol=1e-6)
+    # and the loaded state reproduces the exporter's quantized forward
+    y0 = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+    np.testing.assert_allclose(y_ref, y0, rtol=2e-4, atol=2e-4)
