@@ -113,3 +113,17 @@ def test_load_quantized_reference_pth(rng, tmp_path, monkeypatch):
     # and the loaded state reproduces the exporter's quantized forward
     y0 = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
     np.testing.assert_allclose(y_ref, y0, rtol=2e-4, atol=2e-4)
+
+
+def test_predictor_tp_bfloat16(rng):
+    """bf16 serving under dp×tp: psum order may perturb low bits; the result
+    must stay within bf16 tolerance of the single-device bf16 path."""
+    from adalog_tpu.parallel.mesh import make_mesh_2d
+
+    params, qstate, x = _fixture(rng, n=8)
+    pred1 = make_predictor(TinySpec, params, qstate, eval_dtype="bfloat16")
+    pred = make_predictor(TinySpec, params, qstate, eval_dtype="bfloat16",
+                          mesh=make_mesh_2d(4, 2))
+    y1 = np.asarray(pred1(x))
+    y = np.asarray(pred(x))
+    np.testing.assert_allclose(y, y1, rtol=2e-2, atol=2e-2)
