@@ -39,4 +39,10 @@ def __getattr__(name):
     if name == "model_forward_fn":
         from adalog_tpu.models.zoo import model_forward_fn
         return model_forward_fn
+    if name == "load_quantized":
+        from adalog_tpu.serve import load_quantized
+        return load_quantized
+    if name == "make_predictor":
+        from adalog_tpu.serve import make_predictor
+        return make_predictor
     raise AttributeError(name)
