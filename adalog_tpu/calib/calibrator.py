@@ -187,6 +187,10 @@ class QuantCalibrator:
         self.resume_path = resume_path
         self._pending = {}
         self._folded = {}    # name -> (r, b) of resume-restored reparam folds
+        # sites whose taps were captured AFTER their fold was restored into
+        # the params (streaming resume): the folded norm already outputs
+        # x/r - b, so the cached-input rewrite must be skipped
+        self._taps_post_fold = set()
         self._spill_dtype = (jnp.bfloat16 if getattr(
             cfg, "capture_spill_dtype", "float32") == "bfloat16" else None)
         self._capture_dtype = (jnp.bfloat16 if getattr(
@@ -354,14 +358,18 @@ class QuantCalibrator:
 
         if ss.kind == "linear_reparam":
             if name in self._folded:
-                # resume restored this site's fold into the params; the tap
-                # was captured from the ORIGINAL params (one-pass capture),
-                # so apply the stored input rewrite and go straight to the
-                # per-tensor search — folding again would miscalibrate.
-                r, b = self._folded[name]
-                x2 = rewrite_cached_input(x2, jnp.asarray(r), jnp.asarray(b))
-                if self._capture_dtype is not None:
-                    x2 = x2.astype(self._capture_dtype)
+                # resume restored this site's fold into the params; go
+                # straight to the per-tensor search — folding again would
+                # miscalibrate. One-pass capture ran from the ORIGINAL
+                # params, so the stored (r, b) rewrite the tap; a streaming
+                # wave captured AFTER the fold was applied sees the folded
+                # norm's output (already x/r - b) and must not rewrite.
+                if name not in self._taps_post_fold:
+                    r, b = self._folded[name]
+                    x2 = rewrite_cached_input(x2, jnp.asarray(r),
+                                              jnp.asarray(b))
+                    if self._capture_dtype is not None:
+                        x2 = x2.astype(self._capture_dtype)
             elif getattr(self.cfg, "batch_sites", True) and p.b is not None:
                 # defer stage 1 too: the channel-wise self-searches of every
                 # same-shape reparam site run as one vmapped program (qkv and
@@ -737,33 +745,14 @@ class QuantCalibrator:
 
     # -- driver --------------------------------------------------------------
 
-    def calibrate(self, batches: List[np.ndarray]):
-        """Full calibration: capture once, then search every site.
-
-        Returns (params, qstate) — params possibly reparameterized.
-        """
-        t0 = time.time()
-        recs = self._resume_scan()
-        # capture BEFORE applying resume records, from the ORIGINAL params:
-        # bitwise-identical taps to an uninterrupted run's one-pass capture
-        # (reparam folds preserve the composite function, and folded sites'
-        # cached inputs are rewritten from the stored (r, b)). Already-
-        # searched sites are excluded from capture entirely.
-        done = {name for tag, name, _ in recs if tag == "site"}
-        need = None if not recs else \
-            [nm for nm in self.layout if nm not in done]
-        taps = capture_all_sites(self.spec, self.params, batches,
-                                 self.cfg.capture_device_budget_bytes,
-                                 names=need, spill_dtype=self._spill_dtype,
-                                 capture_dtype=self._capture_dtype,
-                                 mesh=self.mesh)
-        log.info("capture: %d sites in %.1fs", len(taps), time.time() - t0)
-        self._resume_apply(recs)
-
-        for name, ss in self.layout.items():
+    def _run_sites(self, names, taps):
+        """Dispatch each site's search (or deferral) from its captured tap,
+        freeing taps eagerly; then flush the deferred groups."""
+        for name in names:
             if name in self.qstate:      # resumed
                 taps.pop(name, None)
                 continue
+            ss = self.layout[name]
             t1 = time.time()
             tap = taps[name]
             if ss.kind == "conv":
@@ -781,6 +770,98 @@ class QuantCalibrator:
             log.info("calibrated %-38s [%s] in %.2fs", name, ss.kind,
                      time.time() - t1)
         self._flush_pending()
+
+    def _tap_bytes(self, batches, names):
+        """Per-site capture footprint (all batches), via shape-only tracing."""
+        fwd = model_forward_fn(self.spec)
+        shapes = jax.eval_shape(
+            lambda p, x: fwd(self.spec.cfg, p, x, capture=True)[1],
+            self.params,
+            jax.ShapeDtypeStruct(batches[0].shape, jnp.float32))
+        item = 2 if self._capture_dtype == jnp.bfloat16 else 4
+        return {nm: sum(int(np.prod(s.shape)) * item for s in shapes[nm])
+                * len(batches) for nm in names}
+
+    def _streaming_waves(self, batches, need):
+        """Partition sites into capture waves under the device budget, or
+        return None when streaming is off / unnecessary (cfg.streaming_calib:
+        'auto' streams only when one-pass capture would spill)."""
+        mode = str(getattr(self.cfg, "streaming_calib", "auto")).lower()
+        budget = self.cfg.capture_device_budget_bytes
+        if mode in ("off", "false") or budget is None:
+            return None
+        site_bytes = self._tap_bytes(batches, need)
+        total = sum(site_bytes.values())
+        if mode == "auto" and total <= budget:
+            return None              # one-pass capture stays on device anyway
+        waves, cur, cur_b = [], [], 0
+        for nm in need:              # layout order
+            if cur and cur_b + site_bytes[nm] > budget:
+                waves.append(cur)
+                cur, cur_b = [], 0
+            cur.append(nm)
+            cur_b += site_bytes[nm]
+        if cur:
+            waves.append(cur)
+        if len(waves) > 1 or mode in ("on", "true"):
+            log.info("streaming calibration: %.1f GB of taps in %d waves "
+                     "(budget %.1f GB, zero host spill)",
+                     total / 2**30, len(waves), budget / 2**30)
+            return waves
+        return None
+
+    def calibrate(self, batches: List[np.ndarray]):
+        """Full calibration: capture, then search every site.
+
+        Returns (params, qstate) — params possibly reparameterized.
+
+        Two capture strategies (identical numerics up to fusion order):
+        one-pass capture of every site (spilling to host over the budget),
+        or streaming waves — capture a budget-sized slice of sites
+        on-device, search it, free, re-run the raw forward for the next
+        slice (cfg.streaming_calib). Raw taps are invariant under the
+        already-applied reparam folds, so per-wave recapture is exact.
+        """
+        t0 = time.time()
+        recs = self._resume_scan()
+        done = {name for tag, name, _ in recs if tag == "site"}
+        need = [nm for nm in self.layout if nm not in done]
+
+        waves = self._streaming_waves(batches, need)
+        if waves is not None:
+            # streaming: apply resume records FIRST — waves capture from the
+            # folded params, so restored-fold sites' taps come out already
+            # rewritten (the folded norm outputs x/r - b directly)
+            self._resume_apply(recs)
+            self._taps_post_fold = set(self._folded)
+            for i, wave in enumerate(waves):
+                t1 = time.time()
+                # spill_dtype only matters for the escape hatch of a single
+                # site whose tap alone exceeds the budget (its wave spills)
+                taps = capture_all_sites(
+                    self.spec, self.params, batches,
+                    self.cfg.capture_device_budget_bytes, names=tuple(wave),
+                    spill_dtype=self._spill_dtype,
+                    capture_dtype=self._capture_dtype, mesh=self.mesh)
+                log.info("wave %d/%d: captured %d sites in %.1fs",
+                         i + 1, len(waves), len(taps), time.time() - t1)
+                self._run_sites(wave, taps)
+            return self.params, self.qstate
+
+        # one-pass: capture BEFORE applying resume records, from the
+        # ORIGINAL params: bitwise-identical taps to an uninterrupted run's
+        # capture (reparam folds preserve the composite function, and folded
+        # sites' cached inputs are rewritten from the stored (r, b)).
+        # Already-searched sites are excluded from capture entirely.
+        taps = capture_all_sites(self.spec, self.params, batches,
+                                 self.cfg.capture_device_budget_bytes,
+                                 names=None if not recs else need,
+                                 spill_dtype=self._spill_dtype,
+                                 capture_dtype=self._capture_dtype,
+                                 mesh=self.mesh)
+        log.info("capture: %d sites in %.1fs", len(taps), time.time() - t0)
+        self._resume_apply(recs)
+        self._run_sites(list(self.layout), taps)
         return self.params, self.qstate
 
     def finish_calibration(self):

@@ -89,6 +89,20 @@ class Config:
     # rounding/drift class as capture_spill_dtype (searches upcast to fp32
     # at consumption); supersedes it when set.
     capture_dtype: str = "float32"
+    # streaming calibration: when the capture footprint exceeds
+    # capture_device_budget_bytes, instead of spilling taps to host (the
+    # ~20 MB/s tunnel dominates big-model wall-clock), partition the sites
+    # into capture WAVES that fit the budget and re-run the raw forward per
+    # wave — capture a wave's taps on-device, search its groups, free,
+    # recapture the next wave. Exact: raw taps are invariant under the
+    # LayerNorm reparam folds (the fold preserves the composite function —
+    # the property the one-pass capture already relies on), so per-wave
+    # recapture returns identical taps; the extra forward FLOPs (one raw
+    # pass per wave, ~0.1-5 s) are noise next to the transfers they replace.
+    # 'auto' (default): stream only when the one-pass capture would spill.
+    # 'on': always stream (single wave when everything fits).
+    # 'off': legacy one-pass capture with host spill.
+    streaming_calib: str = "auto"
     recon_iters: int = 20000
     recon_block_group: int = 4      # same-shape blocks trained concurrently (vmap)
     # iterations per jitted training segment: bounds the wall-clock of one

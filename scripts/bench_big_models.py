@@ -44,6 +44,11 @@ def main():
     # because deit search is dispatch-bound, to be probed at these scales)
     if os.environ.get("BIG_A_GRAM"):
         cfg.a_search_gram = True
+    # BIG_STREAMING=off disables the streaming capture waves (the default
+    # 'auto' streams exactly when one-pass capture would spill to host —
+    # swin_base_384's 32 GB fp32 taps become 4 on-device waves)
+    cfg.streaming_calib = os.environ.get("BIG_STREAMING",
+                                         cfg.streaming_calib)
     spec, params = build_model(model, seed=0)
     img = spec.cfg.img_size
 

@@ -42,7 +42,7 @@ def main():
     for sd in ("float32", "bfloat16"):
         cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4,
                      capture_device_budget_bytes=1 << 30,
-                     capture_spill_dtype=sd)
+                     capture_spill_dtype=sd, streaming_calib="off")
         t0 = time.time()
         calib = QuantCalibrator(spec, params, cfg)
         p, q = calib.calibrate(batches)

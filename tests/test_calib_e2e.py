@@ -270,3 +270,145 @@ def test_resume_file_is_not_pickle(rng, tmp_path):
     calib3 = QuantCalibrator(TinySpec, params, cfg, resume_path=legacy)
     with pytest.raises(ValueError, match="not a v2 resume file"):
         calib3.calibrate(batches)
+
+
+# -- streaming calibration (capture waves instead of host spill) -------------
+
+
+def _tiny_budget(params, batches, frac=0.25):
+    """A device budget ~frac of the tiny model's tap footprint, forcing
+    multiple streaming waves."""
+    calib = QuantCalibrator(TinySpec, params, make_cfg())
+    total = sum(calib._tap_bytes(batches, list(calib.layout)).values())
+    return max(1, int(total * frac))
+
+
+def test_streaming_matches_one_pass(rng):
+    """Streaming waves (capture a budget-sized slice, search, free,
+    recapture) produce the same calibration as the one-pass capture: raw
+    taps are invariant under the reparam folds, so per-wave recapture is
+    exact up to XLA fusion order."""
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    budget = _tiny_budget(params, batches)
+
+    cfg_stream = make_cfg(capture_device_budget_bytes=budget)   # auto streams
+    calib_s = QuantCalibrator(TinySpec, params, cfg_stream)
+    waves = calib_s._streaming_waves(batches, list(calib_s.layout))
+    assert waves is not None and len(waves) >= 3
+    calib_s.calibrate(batches)
+    p_s, q_s = calib_s.finish_calibration()
+
+    cfg_one = make_cfg(streaming_calib="off")
+    p_o, q_o = _uninterrupted(cfg_one, params, batches)
+
+    assert set(q_s) == set(q_o)
+    for nm in q_o:
+        for a, b in zip(jax.tree_util.tree_leaves(q_s[nm]),
+                        jax.tree_util.tree_leaves(q_o[nm])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=nm)
+    x = jnp.asarray(batches[0])
+    y_s = np.asarray(vit_forward(CFG, p_s, x, q_s, {"*": "quant"}))
+    y_o = np.asarray(vit_forward(CFG, p_o, x, q_o, {"*": "quant"}))
+    np.testing.assert_allclose(y_s, y_o, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_forced_single_wave(rng):
+    """streaming_calib='on' with an ample budget degenerates to one wave and
+    still matches the one-pass path."""
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    cfg_on = make_cfg(streaming_calib="on")
+    calib_s = QuantCalibrator(TinySpec, params, cfg_on)
+    waves = calib_s._streaming_waves(batches, list(calib_s.layout))
+    assert waves is not None and len(waves) == 1
+    calib_s.calibrate(batches)
+    p_s, q_s = calib_s.finish_calibration()
+
+    p_o, q_o = _uninterrupted(make_cfg(streaming_calib="off"),
+                              params, batches)
+    x = jnp.asarray(batches[0])
+    y_s = np.asarray(vit_forward(CFG, p_s, x, q_s, {"*": "quant"}))
+    y_o = np.asarray(vit_forward(CFG, p_o, x, q_o, {"*": "quant"}))
+    np.testing.assert_allclose(y_s, y_o, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_resume_between_fold_and_search(rng, tmp_path):
+    """Streaming + resume across the fold/search window: the restored fold
+    is applied to the params BEFORE the wave captures, so the recaptured tap
+    is already rewritten (the folded norm outputs x/r - b) and must not be
+    rewritten a second time."""
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    budget = _tiny_budget(params, batches)
+    cfg = make_cfg(capture_device_budget_bytes=budget, batch_sites=False)
+    resume = str(tmp_path / "resume.bin")
+
+    class Boom(Exception):
+        pass
+
+    calib = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    orig = calib._set_linear_state
+
+    def bomb(name, *a, **k):
+        if name == "blocks.0.attn.qkv":
+            raise Boom()
+        return orig(name, *a, **k)
+
+    calib._set_linear_state = bomb
+    with pytest.raises(Boom):
+        calib.calibrate(batches)
+    assert "blocks.0.attn.qkv" not in calib.qstate
+
+    calib2 = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    calib2.calibrate(batches)
+    p2, q2 = calib2.finish_calibration()
+    assert "blocks.0.attn.qkv" in calib2._taps_post_fold   # skip-rewrite path
+    assert set(q2) == set(calib2.layout)
+
+    p3, q3 = _uninterrupted(cfg, params, batches)
+    x = jnp.asarray(batches[0])
+    y2 = np.asarray(vit_forward(CFG, p2, x, q2, {"*": "quant"}))
+    y3 = np.asarray(vit_forward(CFG, p3, x, q3, {"*": "quant"}))
+    np.testing.assert_allclose(y2, y3, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_resume_mid_run(rng, tmp_path):
+    """Death partway through a streaming run resumes and completes; already-
+    searched sites are excluded from later waves entirely."""
+    params = vit_init(CFG, jax.random.PRNGKey(0))
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+    budget = _tiny_budget(params, batches)
+    cfg = make_cfg(capture_device_budget_bytes=budget, batch_sites=False)
+    resume = str(tmp_path / "resume.bin")
+
+    class Boom(Exception):
+        pass
+
+    calib = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    orig = calib._do_matmul
+    calls = {"n": 0}
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise Boom()
+        return orig(*a, **k)
+
+    calib._do_matmul = bomb
+    with pytest.raises(Boom):
+        calib.calibrate(batches)
+    n_done = len(calib.qstate)
+    assert 0 < n_done < len(calib.layout)
+
+    calib2 = QuantCalibrator(TinySpec, params, cfg, resume_path=resume)
+    calib2.calibrate(batches)
+    p2, q2 = calib2.finish_calibration()
+    assert set(q2) == set(calib2.layout)
+
+    p3, q3 = _uninterrupted(cfg, params, batches)
+    x = jnp.asarray(batches[0])
+    y2 = np.asarray(vit_forward(CFG, p2, x, q2, {"*": "quant"}))
+    y3 = np.asarray(vit_forward(CFG, p3, x, q3, {"*": "quant"}))
+    np.testing.assert_allclose(y2, y3, rtol=1e-5, atol=1e-6)

@@ -180,7 +180,7 @@ def test_spill_bf16_calibration_drift(rng):
     for sd in ("float32", "bfloat16"):
         cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4, eq_n=32,
                      steps=2, search_round=1, capture_device_budget_bytes=1,
-                     capture_spill_dtype=sd)
+                     capture_spill_dtype=sd, streaming_calib="off")
         calib = QuantCalibrator(TinySpec, params, cfg)
         calib.calibrate(batches)
         p, q = calib.finish_calibration()
