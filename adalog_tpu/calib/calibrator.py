@@ -33,6 +33,7 @@ from adalog_tpu.quantizers.state import (
     QuantizerState, WeightQuantizerState, GELU_MIN,
 )
 from adalog_tpu.calib.layout import quant_layout, tree_get, tree_set, SiteSpec
+from adalog_tpu.utils.resume import RESUME_MAGIC, resume_scan, resume_append
 from adalog_tpu.calib import search as SRCH
 from adalog_tpu.ops import scoring
 from adalog_tpu.calib.reparam import (
@@ -242,41 +243,12 @@ class QuantCalibrator:
     #     uninterrupted run's one-pass capture — is rewritten with the stored
     #     (r, b) instead of re-running stage 1 and folding a second time.
 
-    _RESUME_MAGIC = b"ALRS2\x00"
+    _RESUME_MAGIC = RESUME_MAGIC     # kept for callers/tests; format owner
+    #                                  is utils/resume.py (shared with BRECQ)
 
     def _resume_scan(self):
         """Read all complete records from the resume file (without applying)."""
-        import os
-        if not self.resume_path or not os.path.exists(self.resume_path):
-            return []
-        from adalog_tpu.utils.checkpoint import decode_bytes
-        recs = []
-        hdr_n = len(self._RESUME_MAGIC) + 8
-        with open(self.resume_path, "rb") as f:
-            first = True
-            while True:
-                hdr = f.read(hdr_n)
-                if not hdr:
-                    break
-                if len(hdr) < hdr_n or \
-                        hdr[:len(self._RESUME_MAGIC)] != self._RESUME_MAGIC:
-                    if first:
-                        raise ValueError(
-                            f"{self.resume_path} is not a v2 resume file "
-                            "(the round-2 pickle resume format is no longer "
-                            "supported) — delete it or pass a fresh path")
-                    log.warning("resume file %s: truncated record header; "
-                                "ignoring the tail", self.resume_path)
-                    break
-                n = int.from_bytes(hdr[len(self._RESUME_MAGIC):], "little")
-                blob = f.read(n)
-                if len(blob) < n:
-                    log.warning("resume file %s: truncated record; ignoring "
-                                "the tail", self.resume_path)
-                    break
-                recs.append(decode_bytes(blob))
-                first = False
-        return recs
+        return resume_scan(self.resume_path)
 
     def _resume_apply(self, recs):
         n_sites = n_folds = 0
@@ -300,16 +272,7 @@ class QuantCalibrator:
         """Append ("site"|"fold", name, payload) records. Device leaves are
         materialized to host by the encoder — this is also the true-sync
         point the instrumented per-group timings rely on."""
-        if not self.resume_path or not records:
-            return
-        from adalog_tpu.utils.checkpoint import encode_bytes
-        frames = []
-        for rec in records:
-            blob = encode_bytes(rec)
-            frames.append(self._RESUME_MAGIC +
-                          len(blob).to_bytes(8, "little") + blob)
-        with open(self.resume_path, "ab") as f:
-            f.write(b"".join(frames))
+        resume_append(self.resume_path, records)
 
     def _site_records(self, names):
         return [("site", nm, self.qstate[nm]) for nm in names]

@@ -291,7 +291,8 @@ def main(args):
             cfg.optim_size, cfg.optim_batch_size, args.seed)
         recon = BlockReconstructor(spec, params, params_full, qstate,
                                    quant_layout(spec, cfg, reparam), cfg,
-                                   mesh=mesh)
+                                   mesh=mesh,
+                                   resume_path=getattr(args, "resume", None))
         params, qstate = recon.reconstruct(calib_loader_batches,
                                           quant_act=cfg.train_act)
         calibrator.params, calibrator.qstate = params, dict(qstate)

@@ -42,6 +42,7 @@ from adalog_tpu.quantizers.adaround import (
 )
 from adalog_tpu.calib.layout import tree_get, tree_set
 from adalog_tpu.recon.blocks import block_units, BlockUnit
+from adalog_tpu.utils.resume import resume_scan, resume_append
 
 log = logging.getLogger("adalog_tpu")
 
@@ -231,7 +232,7 @@ class BlockReconstructor:
     """Functional analog of reference BlockReconstructor (block_recon.py:17-157)."""
 
     def __init__(self, spec: ModelSpec, params, params_full, qstate, layout,
-                 cfg: Config, mesh=None):
+                 cfg: Config, mesh=None, resume_path: str = None):
         self.spec = spec
         self.params = params
         self.params_full = params_full
@@ -239,6 +240,47 @@ class BlockReconstructor:
         self.layout = layout
         self.cfg = cfg
         self.mesh = mesh  # optional: dp-shard the cached block I/O over it
+        # per-block resume: frozen results are appended to this framed log
+        # after each block completes, so a killed 20k-iter run (~33 min
+        # on-chip at deit_small) restarts at the last finished block instead
+        # of from zero. Shares the calibration resume file/format
+        # (utils/resume.py); calibration-side readers ignore "recon" records.
+        self.resume_path = resume_path
+
+    def _resume_apply(self):
+        """Apply prior "recon" records; returns the set of finished units.
+
+        Valid because blocks train against pristine-model I/O and are
+        mutually independent (block_recon.py:62-82) — applying a finished
+        block's frozen weights does not change any other block's target."""
+        done = set()
+        for tag, name, payload in resume_scan(self.resume_path):
+            if tag != "recon":
+                continue
+            for nm, p in payload.get("params", {}).items():
+                self.params = tree_set(self.params,
+                                       self.layout[nm].param_path, p)
+            for nm, site in payload.get("sites", {}).items():
+                self.qstate[nm] = site
+            done.add(name)
+        if done:
+            log.info("resumed %d reconstructed blocks from %s", len(done),
+                     self.resume_path)
+        return done
+
+    def _record_block(self, unit: BlockUnit):
+        if not self.resume_path:
+            return
+        payload = {"params": {}, "sites": {}}
+        for nm in unit.canon:
+            site = self.qstate.get(nm)
+            if site is None:
+                continue
+            payload["sites"][nm] = site
+            if not isinstance(site, MatMulSite):
+                payload["params"][nm] = tree_get(self.params,
+                                                 self.layout[nm].param_path)
+        resume_append(self.resume_path, [("recon", unit.name, payload)])
 
     def _put(self, a):
         a = jnp.asarray(a)
@@ -376,15 +418,40 @@ class BlockReconstructor:
         """Reconstruct every block unit; returns (params, qstate).
 
         Same-shape blocks (all 12 ViT blocks; Swin stage siblings) are trained
-        concurrently in groups of ``cfg.recon_block_group`` — vmapped over one
-        compiled training program.
+        concurrently in vmapped groups. ``cfg.recon_block_group`` caps the
+        group size; the effective size is derated so one group's stacked
+        device I/O (+ per-block trainables/optimizer state) stays under
+        ``cfg.recon_group_bytes`` — the tunneled v5e worker dies on a stacked
+        allocation set past ~1 GB (same crash line `_group_chunks` budgets
+        for in calibration), and at deit_small/optim-1024 scale a single
+        block's I/O is already ~620 MB, so groups auto-derate to sequential
+        there (the measured-safe configuration of the proven 20k-iter run).
         """
+        done = self._resume_apply()
+        all_units = [u for u in block_units(self.spec)
+                     if u.name not in done]
+        if not all_units:
+            log.info("all blocks already reconstructed (resume)")
+            return self.params, self.qstate
+
         t0 = time.time()
         io = capture_block_io(self.spec, self.params_full, batches)
         log.info("block capture: %d units in %.1fs", len(io), time.time() - t0)
+        for nm in done:
+            io.pop(nm, None)
 
         group_n = max(1, getattr(self.cfg, "recon_block_group", 1))
-        units = [u for u in block_units(self.spec) if u.name in io]
+        budget = int(getattr(self.cfg, "recon_group_bytes", 1 << 29))
+        units = [u for u in all_units if u.name in io]
+
+        def per_block_bytes(u):
+            # stacked device bytes per block in a vmapped group: raw I/O +
+            # block params + AdaRound alphas (~weight-size) + 2x Adam moments
+            rin, rout = io[u.name]
+            pb = sum(int(np.prod(a.shape)) * 4
+                     for a in jax.tree_util.tree_leaves(u.extract(self.params))
+                     if hasattr(a, "shape"))
+            return rin.nbytes + rout.nbytes + 4 * pb
 
         # group same-forward, same-shape, non-head units
         groups, singles = {}, []
@@ -397,8 +464,15 @@ class BlockReconstructor:
                 singles.append(u)
 
         for key, us in groups.items():
-            for st in range(0, len(us), group_n):
-                chunk = us[st:st + group_n]
+            n_eff = max(1, min(group_n, budget // max(per_block_bytes(us[0]),
+                                                      1)))
+            if n_eff < group_n:
+                log.info("recon group [%s..]: derated %d -> %d blocks "
+                         "(%.0f MB/block, %.0f MB budget)", us[0].name,
+                         group_n, n_eff, per_block_bytes(us[0]) / 2**20,
+                         budget / 2**20)
+            for st in range(0, len(us), n_eff):
+                chunk = us[st:st + n_eff]
                 if len(chunk) == 1:
                     singles.append(chunk[0])
                     continue
@@ -407,6 +481,7 @@ class BlockReconstructor:
                                                           quant_act)
                 for u, tr in zip(chunk, per_block):
                     self._freeze_block(u, tr, quant_act)
+                    self._record_block(u)
                 log.info("reconstructed %d blocks [%s..] rec %.4f -> %.4f "
                          "in %.1fs", len(chunk), chunk[0].name,
                          float(recs[:, 0].mean()), float(recs[:, -1].mean()),
@@ -421,6 +496,7 @@ class BlockReconstructor:
             tr, rec0, rec1 = self._train_block(
                 unit, raw_in, raw_out, quant_act, rec_kind)
             self._freeze_block(unit, tr, quant_act)
+            self._record_block(unit)
             io[unit.name] = None
             log.info("reconstructed %-28s rec %.4f -> %.4f in %.1fs",
                      unit.name, rec0, rec1, time.time() - t1)

@@ -104,7 +104,12 @@ class Config:
     # 'off': legacy one-pass capture with host spill.
     streaming_calib: str = "auto"
     recon_iters: int = 20000
-    recon_block_group: int = 4      # same-shape blocks trained concurrently (vmap)
+    recon_block_group: int = 4      # same-shape blocks trained concurrently
+    # (vmap) — an upper bound; the effective group size is derated so one
+    # group's stacked device I/O stays under recon_group_bytes (the tunneled
+    # v5e worker crashes past ~1 GB of stacked allocations; 512 MB measured
+    # safe — same line calibration's batch_group_bytes budgets for)
+    recon_group_bytes: int = 1 << 29
     # iterations per jitted training segment: bounds the wall-clock of one
     # device execution (multi-minute monolithic scans crash the tunneled
     # worker); the carry is donated between segments

@@ -146,6 +146,11 @@ def main():
         "vs_baseline": round(REF_BASELINE_S / calib_s, 2),
         "aggregate": f"median_of_{n_runs}",
         "runs_s": runs,
+        # cold vs warm split: run 1 pays whatever the persistent compilation
+        # cache does not cover (treedef/HLO churn since the cache was last
+        # populated); the rest are warm steady state
+        "cold_s": runs[0],
+        "warm_s": float(np.median(runs[1:])) if n_runs > 1 else runs[0],
         "baseline": REF_BASELINE,
     }
     # persist the headline NOW: the secondary eval section dispatches fresh
@@ -156,6 +161,22 @@ def main():
 
     # --- secondary: quantized eval throughput ---
     fwd = model_forward_fn(spec)
+
+    # static forward FLOPs (per image) for MFU accounting: 2*M*N*K over the
+    # GEMMs of the quantized inference graph (patch-embed as a GEMM, qkv,
+    # attention matmuls, proj, fc1/fc2, head). deit_small/224: ~9.2 GFLOP.
+    c = spec.cfg
+    T = c.num_patches + 1
+    D, depth, mlp = c.dim, c.depth, int(c.dim * c.mlp_ratio)
+    gflop = (
+        2 * c.num_patches * (c.in_chans * c.patch_size ** 2) * D  # patch embed
+        + depth * (2 * T * D * (3 * D)                      # qkv
+                   + 2 * T * T * D * 2                      # QK^T + AV
+                   + 2 * T * D * D                          # proj
+                   + 2 * T * D * mlp * 2)                   # fc1 + fc2
+        + 2 * D * c.num_classes                             # head
+    ) / 1e9
+    log(f"model forward: {gflop:.2f} GFLOP/img")
 
     def make_eval(dtype):
         # cast params eagerly (once) so the cast isn't re-traced inside the
@@ -172,6 +193,8 @@ def main():
     # bf16+fqattn: only the attention kernels (fused softmax+quant+AV) — the
     # linear fq_gemm kernels lose to XLA at these shapes, the attention ones
     # can win, so they carry an independent switch
+    eval_runs = max(1, int(os.environ.get("ADALOG_EVAL_RUNS", "3")))
+    evals = {}
     for name, dtype, pallas, attn, int8 in [
             ("fp32", jnp.float32, False, False, False),
             ("bf16", jnp.bfloat16, False, False, False),
@@ -203,10 +226,22 @@ def main():
             return acc
         try:
             _ = np.asarray(chained(x))       # compile + sync
-            t1 = time.time()
-            _ = np.asarray(chained(x))       # one dispatch, true execution
-            ips = 128 * iters / (time.time() - t1)
-            log(f"quant eval throughput ({name}): {ips:.0f} img/s")
+            # median of N true-execution dispatches: single shots were inside
+            # relay run-to-run noise (round-3 bench vs probe disagreed by ~8%
+            # on the same variant — VERDICT r3 #1)
+            times = []
+            for _i in range(eval_runs):
+                t1 = time.time()
+                _ = np.asarray(chained(x))   # one dispatch, true execution
+                times.append(time.time() - t1)
+            dt = float(np.median(times))
+            ips = 128 * iters / dt
+            tflops = gflop * ips / 1e3
+            evals[name] = {"img_per_s": round(ips),
+                           "tflop_per_s": round(tflops, 1),
+                           "runs_s": [round(t, 3) for t in times]}
+            log(f"quant eval throughput ({name}): {ips:.0f} img/s "
+                f"({tflops:.1f} TFLOP/s achieved, median of {eval_runs})")
         except Exception as e:               # pallas path is best-effort
             log(f"quant eval ({name}) failed: {type(e).__name__}: {e}")
         finally:
@@ -214,6 +249,12 @@ def main():
             fq_attn.set_enabled(False)
             int8_linear.set_enabled(False)
 
+    result["eval"] = {"batch": 128, "chained_iters": 10,
+                      "aggregate": f"median_of_{eval_runs}",
+                      "gflop_per_img": round(gflop, 2),
+                      "variants": evals}
+    with open(LAST_GOOD, "w") as f:
+        json.dump(result, f)
     print(json.dumps(result), flush=True)
 
 

@@ -150,3 +150,66 @@ def test_segmented_training_equals_monolithic(rng):
     y0 = np.asarray(vit_forward(CFG, p0, x, q0, {"*": "quant"}))
     y1 = np.asarray(vit_forward(CFG, p1, x, q1, {"*": "quant"}))
     np.testing.assert_allclose(y1, y0, rtol=1e-6, atol=1e-6)
+
+
+def test_recon_resume_round_trip(rng, tmp_path):
+    """A killed reconstruction resumes at the last completed block: applying
+    a partial resume log and retraining the rest reproduces the full run."""
+    from adalog_tpu.utils.resume import resume_scan, resume_append
+
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+
+    f_full = str(tmp_path / "full.resume")
+    cfg, params, qstate, layout = _setup()
+    recon = BlockReconstructor(TinySpec, params, params, qstate, layout, cfg,
+                               resume_path=f_full)
+    p_full, q_full = recon.reconstruct(batches, quant_act=True)
+
+    recs = resume_scan(f_full)
+    assert [t for t, _, _ in recs].count("recon") == len(recs) == 4
+
+    # simulate a run killed after the first TWO blocks finished
+    f_part = str(tmp_path / "part.resume")
+    resume_append(f_part, recs[:2])
+    cfg2, params2, qstate2, layout2 = _setup()
+    recon2 = BlockReconstructor(TinySpec, params2, params2, qstate2, layout2,
+                                cfg2, resume_path=f_part)
+    p_res, q_res = recon2.reconstruct(batches, quant_act=True)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    x = jnp.asarray(batches[0])
+    y0 = np.asarray(vit_forward(CFG, p_full, x, q_full, {"*": "quant"}))
+    y1 = np.asarray(vit_forward(CFG, p_res, x, q_res, {"*": "quant"}))
+    np.testing.assert_allclose(y1, y0, rtol=1e-6, atol=1e-6)
+
+    # a complete log short-circuits reconstruction entirely
+    cfg3, params3, qstate3, layout3 = _setup()
+    recon3 = BlockReconstructor(TinySpec, params3, params3, qstate3, layout3,
+                                cfg3, resume_path=f_full)
+    p_all, q_all = recon3.reconstruct(batches, quant_act=True)
+    y2 = np.asarray(vit_forward(CFG, p_all, x, q_all, {"*": "quant"}))
+    np.testing.assert_allclose(y2, y0, rtol=1e-6, atol=1e-6)
+
+
+def test_recon_group_budget_derates(rng):
+    """recon_group_bytes derates the vmapped group to sequential when one
+    block's stacked I/O exceeds the budget — results identical either way."""
+    batches = [rng.standard_normal((8, 16, 16, 3)).astype(np.float32)]
+
+    results = {}
+    for budget in (1 << 29, 1):        # unrestricted vs force-sequential
+        cfg, params, qstate, layout = _setup()
+        cfg.recon_block_group = 4
+        cfg.recon_group_bytes = budget
+        recon = BlockReconstructor(TinySpec, params, params, qstate, layout,
+                                   cfg)
+        results[budget] = recon.reconstruct(batches, quant_act=True)
+
+    (p0, q0), (p1, q1) = results[1 << 29], results[1]
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
