@@ -221,7 +221,14 @@ def main(args):
         from adalog_tpu.ops import int8_linear
         int8_linear.set_enabled(True)
 
+    def _prep_int8(p, qs):
+        if cfg.eval_int8:
+            from adalog_tpu.ops import int8_linear
+            n = int8_linear.prepare(spec, p, qs, cfg)
+            log.info("int8 eval: weight codes materialized for %d sites", n)
+
     def eval_forward(p, qs):
+        _prep_int8(p, qs)
         # the serving API (serve.py) owns the mesh-layout dispatch:
         # single-device jit, dp shard_map, or dp×tp shard_map (parallel/tp.py)
         from adalog_tpu.serve import make_predictor

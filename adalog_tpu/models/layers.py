@@ -163,7 +163,7 @@ def qlinear(p: LinearP, site: Optional[LinearSite], x, *, mode: str = "raw",
             and row_axis is None:
         from adalog_tpu.ops import int8_linear
         if int8_linear.supports(site, mode):
-            return int8_linear.int8_qlinear(p, site, x)
+            return int8_linear.int8_qlinear(p, site, x, name=name)
     w = p.w
     if site is not None and mode in ("quant", "w_only"):
         w = quant_linear_weight(p, site, soft=soft, training=training)

@@ -22,6 +22,14 @@ import jax.numpy as jnp
 
 _ENABLED = False
 
+# name -> (w_int int8 (O, I), s_row fp32 (O,)): weight codes materialized
+# ONCE at load time. Without this the fake->int conversion of the WEIGHTS
+# (round/clip over the full O*I matrix) re-runs inside every forward — pure
+# HBM traffic + VPU work the GEMM does not need (the codes are a constant of
+# the checkpoint). Populated by prepare(); consulted by int8_qlinear when a
+# site name is given.
+_PREP: dict = {}
+
 
 def set_enabled(flag: bool):
     global _ENABLED
@@ -32,26 +40,66 @@ def enabled() -> bool:
     return _ENABLED
 
 
-def supports(site, mode: str) -> bool:
+def weight_codes(p, site):
+    """Integer weight codes + per-row scales for a uniform Linear site.
+    Exactly the per-call math of int8_qlinear, hoisted."""
+    wq = site.wq
+    Nw = 2 ** (wq.bits - 1)
+    O, I = p.w.shape
+    V = site.n_V
+    w_v = p.w.reshape(V, O // V, I).astype(jnp.float32)
+    w_zp = jnp.round(wq.zero_point)
+    w_codes = jnp.clip(jnp.round(w_v / wq.scale) + w_zp, 0, 2 * Nw - 1)
+    w_int = (w_codes - w_zp).astype(jnp.int8).reshape(O, I)
+    s_row = (jnp.broadcast_to(wq.scale, (V, O // V, 1))
+             .reshape(O).astype(jnp.float32))
+    return w_int, s_row
+
+
+def prepare(spec, params, qstate, cfg) -> int:
+    """Materialize weight codes for every eligible Linear site; returns the
+    number prepared. Codes are computed from the fp32 master weights (same
+    values the fake-quant path would produce every call)."""
+    from adalog_tpu.calib.layout import quant_layout, tree_get
+    from adalog_tpu.models.layers import LinearSite
+
+    _PREP.clear()
+    layout = quant_layout(spec, cfg)
+    for nm, ss in layout.items():
+        site = qstate.get(nm)
+        if not isinstance(site, LinearSite) or not supports(site, "quant",
+                                                            _force=True):
+            continue
+        p = tree_get(params, ss.param_path)
+        _PREP[nm] = weight_codes(p, site)
+    return len(_PREP)
+
+
+def clear_prepared():
+    _PREP.clear()
+
+
+def supports(site, mode: str, _force: bool = False) -> bool:
     """Uniform asymmetric per-tensor activations + uniform weights, both
     narrow enough for int8 operands."""
-    if not enabled() or mode != "quant":
+    if not (_force or enabled()) or mode != "quant":
         return False
     aq, wq = site.aq, site.wq
     return (aq.kind == "uniform" and not aq.symmetric and aq.scale.size == 1
             and aq.bits <= 7 and wq.bits <= 7 and wq.alpha is None)
 
 
-def int8_qlinear(p, site, x):
+def int8_qlinear(p, site, x, name=None):
     """Integer-arithmetic forward for a uniform Linear site.
 
     x: (..., I); returns (..., O) in x.dtype. Exactly equivalent to the
     fake-quant path (integer products are exact; the final scaling is the
-    same fp multiply the fake-quant path applies before its GEMM).
+    same fp multiply the fake-quant path applies before its GEMM). When
+    ``name`` has been prepare()d, the weight codes come from the registry
+    (constants of the jitted program) instead of being recomputed per call.
     """
-    aq, wq = site.aq, site.wq
+    aq = site.aq
     Na = 2 ** (aq.bits - 1)
-    Nw = 2 ** (wq.bits - 1)
 
     azp = jnp.round(aq.zero_point.reshape(()))
     a_scale = aq.scale.reshape(())
@@ -59,15 +107,10 @@ def int8_qlinear(p, site, x):
     x_codes = jnp.clip(jnp.round(x32 / a_scale) + azp, 0, 2 * Na - 1)
     x_int = (x_codes - azp).astype(jnp.int8)
 
-    O, I = p.w.shape
-    V = site.n_V
-    w_v = p.w.reshape(V, O // V, I).astype(jnp.float32)
-    w_scale = wq.scale
-    w_zp = jnp.round(wq.zero_point)
-    w_codes = jnp.clip(jnp.round(w_v / w_scale) + w_zp, 0, 2 * Nw - 1)
-    w_int = (w_codes - w_zp).astype(jnp.int8).reshape(O, I)
-    s_row = (jnp.broadcast_to(w_scale, (V, O // V, 1))
-             .reshape(O).astype(jnp.float32))
+    if name is not None and name in _PREP:
+        w_int, s_row = _PREP[name]
+    else:
+        w_int, s_row = weight_codes(p, site)
 
     acc = jax.lax.dot_general(
         x_int, w_int, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),

@@ -143,6 +143,11 @@ def load_quantized(model: str, checkpoint: str, *, config=None,
     if enable:
         from adalog_tpu.ops import fq_attn
         fq_attn.set_enabled(True)
+    if getattr(cfg, "eval_int8", False):
+        from adalog_tpu.ops import int8_linear
+        int8_linear.set_enabled(True)
+        n = int8_linear.prepare(spec, params, qstate, cfg)
+        log.info("int8 eval: weight codes materialized for %d sites", n)
 
     mesh = None
     if mesh_tp > 1 and not mesh_devices:

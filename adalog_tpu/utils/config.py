@@ -114,9 +114,15 @@ class Config:
     # device execution (multi-minute monolithic scans crash the tunneled
     # worker); the carry is donated between segments
     recon_seg_iters: int = 1000
-    use_pallas: bool = True     # Pallas fused attention kernels (measured
-    #   win over the XLA pipeline at every shipped attention shape; the
-    #   fused softmax+quant+AV kernel keeps the (B,H,S,S) tensor out of HBM)
+    use_pallas: bool = False    # Pallas fused attention kernels. Default set
+    #   by measurement against CALIBRATED checkpoints (BENCH_r04, median-of-3
+    #   chained true-execution, deit_small bs128): bf16 XLA 3802 img/s vs
+    #   bf16+fqattn 3675 — XLA's own attention fusion wins once calibration
+    #   has bias-folded the shifted post-GeLU sites and downgraded cheap log
+    #   bases. Against an UNCALIBRATED qstate the flash kernel still wins
+    #   (+11%: 3847 vs 3455, scripts/probe_eval_throughput.py back-to-back
+    #   same session) — the round-3 default of True came from that probe;
+    #   serving uses calibrated state, so the shipped default is off.
     use_pallas_gemm: bool = False   # Pallas fused linear GEMM kernels —
     #   measured SLOWER than XLA's own fusion at ViT shapes; opt-in
     eval_int8: bool = False     # true-int8 MXU GEMMs for uniform Linear sites

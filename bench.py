@@ -71,7 +71,10 @@ def tpu_preflight(timeout_s: int = None, retries: int = 2) -> bool:
     holds a stale claim (e.g. a previous client died mid-RPC). Probe it in a
     subprocess with a hard timeout so this benchmark cannot wedge the driver.
     """
-    timeout_s = timeout_s or int(os.environ.get("ADALOG_PREFLIGHT_S", "150"))
+    # 240 s: post-crash client init was measured at ~150 s for well over the
+    # ~10 min CLAUDE.md suggests — a 150 s timeout then fails attempt 1 on a
+    # relay that is actually healthy, just slow to hand out the claim
+    timeout_s = timeout_s or int(os.environ.get("ADALOG_PREFLIGHT_S", "240"))
     probe = ("import jax, jax.numpy as jnp, numpy as np;"
              "print(np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0])")
     for i in range(retries):
@@ -201,10 +204,17 @@ def main():
             ("bf16+pallas", jnp.bfloat16, True, False, False),
             ("bf16+fqattn", jnp.bfloat16, False, True, False),
             ("int8", jnp.float32, False, False, True),
-            ("int8+bf16", jnp.bfloat16, False, False, True)]:
+            ("int8+bf16", jnp.bfloat16, False, False, True),
+            # "prep": weight codes materialized once at load time
+            # (int8_linear.prepare) instead of recomputed in every forward
+            ("int8prep+bf16", jnp.bfloat16, False, False, "prep")]:
         fq_gemm.set_enabled(pallas)
         fq_attn.set_enabled(attn)
-        int8_linear.set_enabled(int8)
+        int8_linear.set_enabled(bool(int8))
+        if int8 == "prep":
+            int8_linear.prepare(spec, new_params, qstate, cfg)
+        else:
+            int8_linear.clear_prepared()
         f = make_eval(dtype)
         iters = 10
 
@@ -248,6 +258,7 @@ def main():
             fq_gemm.set_enabled(False)
             fq_attn.set_enabled(False)
             int8_linear.set_enabled(False)
+            int8_linear.clear_prepared()
 
     result["eval"] = {"batch": 128, "chained_iters": 10,
                       "aggregate": f"median_of_{eval_runs}",

@@ -8,8 +8,17 @@ iters per block, optim batch 32, act-scale lr 4e-5 cosine).
 
 Usage:
   BRECQ_MODEL=deit_small [BRECQ_OPTIM_SIZE=1024] [BRECQ_ITERS=20000] \
-      python scripts/bench_brecq.py
+      [BRECQ_BLOCK_GROUP=1] [BRECQ_RESUME=/tmp/brecq_resume.bin] \
+      [BRECQ_STOP_AFTER=N] python scripts/bench_brecq.py
 Prints BRECQ_RESULT <model>: calib <s> + recon <s> (<blocks> block units).
+
+BRECQ_STOP_AFTER=N exits the process cleanly after N blocks have been
+reconstructed AND recorded to the resume log — the controlled stand-in for
+a killed run (same resume records a SIGKILL would leave behind, without
+risking a mid-RPC kill that wedges the relay claim; CLAUDE.md hazards).
+Re-running with the same BRECQ_RESUME then proves per-block resume: the log
+shows "resumed N reconstructed blocks" and reconstruction continues at
+block N+1.
 """
 
 import logging
@@ -56,8 +65,12 @@ def main():
         (obs, img, img, 3)).astype(np.float32)
         for _ in range(max(1, cfg.optim_size // obs))]
 
+    resume = os.environ.get("BRECQ_RESUME", "/tmp/brecq_resume.bin")
+    stop_after = int(os.environ.get("BRECQ_STOP_AFTER", "0"))
+
     t0 = time.time()
-    calib = QuantCalibrator(spec, params, cfg, resume_path="/tmp/brecq_resume.pkl")
+    calib = QuantCalibrator(spec, params, cfg,
+                            resume_path=resume + ".calib")
     params, qstate = calib.calibrate(calib_batches)
     jax.block_until_ready(jax.tree_util.tree_leaves(qstate)[-1])
     _ = np.asarray(jax.tree_util.tree_leaves(qstate)[-1])
@@ -65,7 +78,18 @@ def main():
 
     t1 = time.time()
     recon = BlockReconstructor(spec, params, params_full, qstate,
-                               calib.layout, cfg)
+                               calib.layout, cfg, resume_path=resume)
+    if stop_after:
+        real_record, n_done = recon._record_block, [0]
+
+        def record_and_maybe_stop(unit):
+            real_record(unit)
+            n_done[0] += 1
+            if n_done[0] >= stop_after:
+                print(f"BRECQ_STOPPED after {stop_after} recorded blocks "
+                      f"(controlled kill; resume log: {resume})", flush=True)
+                sys.exit(0)
+        recon._record_block = record_and_maybe_stop
     params, qstate = recon.reconstruct(optim_batches, quant_act=cfg.train_act)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[-1])
     _ = np.asarray(jax.tree_util.tree_leaves(params)[-1])

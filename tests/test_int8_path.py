@@ -51,6 +51,57 @@ def test_int8_matches_fake_quant(rng, bits, n_V):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("bits,n_V", [(4, 3), (6, 1)])
+def test_int8_prepared_weights_identical(rng, bits, n_V):
+    """prepare()d weight codes (registry path) produce BIT-IDENTICAL results
+    to the per-call requantization — the prep is a pure hoist."""
+    T, I, O = 24, 16, 12
+    p = LinearP(w=jnp.asarray((rng.standard_normal((O, I)) * 0.2
+                               ).astype(np.float32)),
+                b=jnp.asarray(rng.standard_normal(O).astype(np.float32)))
+    site = _site(rng, O, n_V, bits)
+    x = jnp.asarray(rng.standard_normal((T, I)).astype(np.float32))
+
+    want = np.asarray(int8_linear.int8_qlinear(p, site, x))
+    int8_linear._PREP["ln"] = int8_linear.weight_codes(p, site)
+    try:
+        got = np.asarray(int8_linear.int8_qlinear(p, site, x, name="ln"))
+    finally:
+        int8_linear.clear_prepared()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_prepare_walks_model(rng):
+    """prepare() finds the uniform Linear sites of a model layout and the
+    prepared model forward matches the unprepared int8 forward exactly."""
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+
+    class TinySpec:
+        family = "vit"
+        cfg = ViTConfig(img_size=16, patch_size=8, dim=32, depth=1, heads=2,
+                        num_classes=10)
+
+    params = vit_init(TinySpec.cfg, jax.random.PRNGKey(0))
+    qstate = init_qstate(TinySpec, cfg, params)
+    for nm, site in list(qstate.items()):
+        if hasattr(site, "aq") and site.aq.kind == "uniform" and \
+                site.aq.zero_point is not None:
+            qstate[nm] = site.replace(aq=site.aq.replace(
+                scale=jnp.full_like(site.aq.scale, 0.05),
+                zero_point=jnp.full_like(site.aq.zero_point, 8.0)))
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    want = np.asarray(vit_forward(TinySpec.cfg, params, x, qstate,
+                                  {"*": "quant"}))
+    n = int8_linear.prepare(TinySpec, params, qstate, cfg)
+    assert n >= 4, n        # qkv, proj, fc1 at minimum (fc2/head gating vary)
+    try:
+        got = np.asarray(vit_forward(TinySpec.cfg, params, x, qstate,
+                                     {"*": "quant"}))
+    finally:
+        int8_linear.clear_prepared()
+    np.testing.assert_array_equal(got, want)
+
+
 def test_int8_dispatch_in_model(rng):
     cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
 
