@@ -222,19 +222,23 @@ def main(args):
         int8_linear.set_enabled(True)
 
     def _prep_int8(p, qs):
-        if cfg.eval_int8:
-            from adalog_tpu.ops import int8_linear
-            n = int8_linear.prepare(spec, p, qs, cfg)
-            log.info("int8 eval: weight codes materialized for %d sites", n)
+        if not cfg.eval_int8:
+            return None
+        from adalog_tpu.ops import int8_linear
+        table = int8_linear.prepare(spec, p, qs, cfg,
+                                    cast_dtype=cfg.eval_dtype)
+        log.info("int8 eval: weight codes materialized for %d sites",
+                 len(table))
+        return table
 
     def eval_forward(p, qs):
-        _prep_int8(p, qs)
         # the serving API (serve.py) owns the mesh-layout dispatch:
         # single-device jit, dp shard_map, or dp×tp shard_map (parallel/tp.py)
         from adalog_tpu.serve import make_predictor
         return make_predictor(
             spec, p, qs, eval_dtype=cfg.eval_dtype,
-            mesh=eval_mesh_tp if eval_mesh_tp is not None else mesh)
+            mesh=eval_mesh_tp if eval_mesh_tp is not None else mesh,
+            int8_prep=_prep_int8(p, qs))
 
     def load_any_checkpoint(path):
         """Route by format: the reference's torch.save(state_dict) .pth/.bin

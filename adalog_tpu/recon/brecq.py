@@ -53,15 +53,19 @@ W_LR = 1e-3                  # torch.optim.Adam default (block_recon.py:108)
 A_LR = 4e-5                  # block_recon.py:85 lr
 
 
-def capture_block_io(spec: ModelSpec, params_full, batches: List[np.ndarray]):
+def capture_block_io(spec: ModelSpec, params_full, batches: List[np.ndarray],
+                     skip=()):
     """One pass over the optimization set through the pristine model, spilling
     every block unit's (input, output) to host memory.
 
     Replaces the reference's per-block full-model re-runs
     (block_recon.py:62-82) with a single capture; identical tensors because all
-    blocks are raw in both cases.
+    blocks are raw in both cases. ``skip``: block names whose I/O is never
+    transferred or accumulated — a resume with most blocks done would
+    otherwise still pay the full capture cost (~620 MB/block at deit_small).
     """
     fwd = model_forward_fn(spec)
+    skip = frozenset(skip)
 
     @jax.jit
     def run(p, x):
@@ -72,6 +76,8 @@ def capture_block_io(spec: ModelSpec, params_full, batches: List[np.ndarray]):
     for xb in batches:
         taps = run(params_full, jnp.asarray(xb))
         for nm, (tin, tout) in taps.items():
+            if nm in skip:
+                continue
             acc.setdefault(nm, []).append((np.asarray(tin), np.asarray(tout)))
     return {nm: (np.concatenate([a for a, _ in v], axis=0),
                  np.concatenate([b for _, b in v], axis=0))
@@ -435,10 +441,8 @@ class BlockReconstructor:
             return self.params, self.qstate
 
         t0 = time.time()
-        io = capture_block_io(self.spec, self.params_full, batches)
+        io = capture_block_io(self.spec, self.params_full, batches, skip=done)
         log.info("block capture: %d units in %.1fs", len(io), time.time() - t0)
-        for nm in done:
-            io.pop(nm, None)
 
         group_n = max(1, getattr(self.cfg, "recon_block_group", 1))
         budget = int(getattr(self.cfg, "recon_group_bytes", 1 << 29))

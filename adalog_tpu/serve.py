@@ -32,12 +32,15 @@ log = logging.getLogger("adalog_tpu")
 
 
 def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
-                   mesh=None):
+                   mesh=None, int8_prep=None):
     """Build ``predict(images) -> logits`` for a (params, qstate) pair.
 
     ``mesh``: None, a 1D ('dp',) jax.sharding.Mesh, or a 2D ('dp', 'tp')
     mesh. ``eval_dtype='bfloat16'`` runs the forward in bf16 (quantizer math
-    stays fp32 internally) — the shipped fast path on TPU.
+    stays fp32 internally) — the shipped fast path on TPU. ``int8_prep``:
+    an ``ops.int8_linear.prepare()`` table; it is activated around every
+    predictor call (including the lazy first-trace) so THIS load's weight
+    codes are baked in even if another model is loaded in between.
     """
     import jax
     import jax.numpy as jnp
@@ -46,6 +49,16 @@ def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
     fwd = model_forward_fn(spec)
     dtype = jnp.bfloat16 if eval_dtype == "bfloat16" else jnp.float32
 
+    def _with_prep(fn):
+        if int8_prep is None:
+            return fn
+        from adalog_tpu.ops import int8_linear
+
+        def wrapped(x):
+            with int8_linear.activate(int8_prep):
+                return fn(x)
+        return wrapped
+
     @jax.jit
     def f_single(x):
         x = x.astype(dtype)
@@ -53,7 +66,7 @@ def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
         return fwd(spec.cfg, pp, x, qstate, {"*": "quant"}).astype(jnp.float32)
 
     if mesh is None:
-        return f_single
+        return _with_prep(f_single)
 
     if "tp" in mesh.axis_names:
         from adalog_tpu.parallel.mesh import shard_batch
@@ -74,7 +87,7 @@ def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
             out = f_tp(shard_batch(x, mesh))
             return out[:n] if pad else out
 
-        return predict_tp
+        return _with_prep(predict_tp)
 
     from adalog_tpu.parallel.mesh import dp_shard_map, shard_batch
 
@@ -95,7 +108,7 @@ def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
             return f_sm(shard_batch(x, mesh))
         return f_single(x)        # remainder batch: single-program path
 
-    return predict_dp
+    return _with_prep(predict_dp)
 
 
 def load_quantized(model: str, checkpoint: str, *, config=None,
@@ -143,11 +156,14 @@ def load_quantized(model: str, checkpoint: str, *, config=None,
     if enable:
         from adalog_tpu.ops import fq_attn
         fq_attn.set_enabled(True)
+    int8_prep = None
     if getattr(cfg, "eval_int8", False):
         from adalog_tpu.ops import int8_linear
         int8_linear.set_enabled(True)
-        n = int8_linear.prepare(spec, params, qstate, cfg)
-        log.info("int8 eval: weight codes materialized for %d sites", n)
+        int8_prep = int8_linear.prepare(spec, params, qstate, cfg,
+                                        cast_dtype=eval_dtype)
+        log.info("int8 eval: weight codes materialized for %d sites",
+                 len(int8_prep))
 
     mesh = None
     if mesh_tp > 1 and not mesh_devices:
@@ -169,5 +185,5 @@ def load_quantized(model: str, checkpoint: str, *, config=None,
             mesh = make_mesh(n)
 
     predict = make_predictor(spec, params, qstate, eval_dtype=eval_dtype,
-                             mesh=mesh)
+                             mesh=mesh, int8_prep=int8_prep)
     return predict, spec, params, qstate

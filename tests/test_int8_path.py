@@ -63,11 +63,89 @@ def test_int8_prepared_weights_identical(rng, bits, n_V):
     x = jnp.asarray(rng.standard_normal((T, I)).astype(np.float32))
 
     want = np.asarray(int8_linear.int8_qlinear(p, site, x))
-    int8_linear._PREP["ln"] = int8_linear.weight_codes(p, site)
-    try:
+    table = {"ln": int8_linear.weight_codes(p, site)}
+    with int8_linear.activate(table):
         got = np.asarray(int8_linear.int8_qlinear(p, site, x, name="ln"))
-    finally:
-        int8_linear.clear_prepared()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_prepared_shape_mismatch_falls_back(rng):
+    """A prepared table holds FULL-model codes; under tensor parallelism the
+    forward sees a device-local weight shard — the lookup must fall back to
+    requantizing the shard, not apply full-width codes (ADVICE r4 #1)."""
+    T, I, O, bits = 24, 16, 12, 4
+    p = LinearP(w=jnp.asarray((rng.standard_normal((O, I)) * 0.2
+                               ).astype(np.float32)),
+                b=jnp.asarray(rng.standard_normal(O).astype(np.float32)))
+    site = _site(rng, O, 1, bits)
+    x = jnp.asarray(rng.standard_normal((T, I)).astype(np.float32))
+
+    # shard: first half of the output rows (column-parallel qkv/fc1 layout);
+    # parallel/tp.py shards the per-row wq state alongside the weights
+    p_sh = LinearP(w=p.w[: O // 2], b=p.b[: O // 2])
+    site_sh = site.replace(wq=site.wq.replace(
+        scale=site.wq.scale[:, : O // 2], zero_point=site.wq.zero_point[:, : O // 2]))
+    want = np.asarray(int8_linear.int8_qlinear(p_sh, site_sh, x))
+    table = {"ln": int8_linear.weight_codes(p, site)}       # full (O, I)
+    with int8_linear.activate(table):
+        got = np.asarray(int8_linear.int8_qlinear(p_sh, site_sh, x,
+                                                  name="ln"))
+    assert got.shape == (T, O // 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_prep_tables_isolated_across_loads(rng):
+    """Two lazily-traced predictors each bake THEIR OWN prepared codes even
+    when the second model is loaded before the first predictor's first call
+    (ADVICE r4 #2 — a process-global registry rebound silently)."""
+    T, I, O, bits = 8, 16, 12, 4
+    site = _site(rng, O, 1, bits)
+    x = jnp.asarray(rng.standard_normal((T, I)).astype(np.float32))
+
+    def make_model(seed):
+        r = np.random.default_rng(seed)
+        p = LinearP(w=jnp.asarray((r.standard_normal((O, I)) * 0.2
+                                   ).astype(np.float32)), b=None)
+        table = {"ln": int8_linear.weight_codes(p, site)}
+
+        @jax.jit
+        def f(xx):
+            return int8_linear.int8_qlinear(p, site, xx, name="ln")
+
+        def predict(xx):                      # serve.make_predictor pattern
+            with int8_linear.activate(table):
+                return f(xx)
+        return p, predict
+
+    p1, pred1 = make_model(1)
+    p2, pred2 = make_model(2)
+    # second load first: a global registry would leave pred1 tracing p2 codes
+    out2 = np.asarray(pred2(x))
+    out1 = np.asarray(pred1(x))
+    np.testing.assert_array_equal(
+        out1, np.asarray(int8_linear.int8_qlinear(p1, site, x)))
+    np.testing.assert_array_equal(
+        out2, np.asarray(int8_linear.int8_qlinear(p2, site, x)))
+    assert not np.array_equal(out1, out2)
+
+
+def test_int8_prepare_cast_dtype_matches_per_call(rng):
+    """prepare(cast_dtype=bf16) derives codes from the SAME cast weights a
+    bf16 predictor evaluates per call — bit-identical under bf16 eval
+    (ADVICE r4 #3)."""
+    T, I, O, bits = 24, 16, 12, 4
+    p = LinearP(w=jnp.asarray((rng.standard_normal((O, I)) * 0.2
+                               ).astype(np.float32)),
+                b=jnp.asarray(rng.standard_normal(O).astype(np.float32)))
+    site = _site(rng, O, 1, bits)
+    x = jnp.asarray(rng.standard_normal((T, I)).astype(np.float32))
+
+    p_bf = LinearP(w=p.w.astype(jnp.bfloat16), b=p.b)   # predictor-cast
+    want = np.asarray(int8_linear.int8_qlinear(p_bf, site, x))
+    table = {"ln": int8_linear.weight_codes(p, site,
+                                            cast_dtype=jnp.bfloat16)}
+    with int8_linear.activate(table):
+        got = np.asarray(int8_linear.int8_qlinear(p_bf, site, x, name="ln"))
     np.testing.assert_array_equal(got, want)
 
 
@@ -92,13 +170,11 @@ def test_int8_prepare_walks_model(rng):
     x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
     want = np.asarray(vit_forward(TinySpec.cfg, params, x, qstate,
                                   {"*": "quant"}))
-    n = int8_linear.prepare(TinySpec, params, qstate, cfg)
-    assert n >= 4, n        # qkv, proj, fc1 at minimum (fc2/head gating vary)
-    try:
+    table = int8_linear.prepare(TinySpec, params, qstate, cfg)
+    assert len(table) >= 4, sorted(table)   # qkv, proj, fc1 at minimum
+    with int8_linear.activate(table):
         got = np.asarray(vit_forward(TinySpec.cfg, params, x, qstate,
                                      {"*": "quant"}))
-    finally:
-        int8_linear.clear_prepared()
     np.testing.assert_array_equal(got, want)
 
 
