@@ -1,16 +1,19 @@
 """Mid-scale pipeline differential at deit-tiny shape (img 224, dim 192,
 depth 12 — 197 tokens, 1000 classes).
 
-The reference side (actual upstream code on CPU torch) costs ~0.5-1 h, so
-it is run ONCE by scripts/midscale_differential.py --ref and cached as a
-small fixture (logits + AdaLog base selections + weight checksum); this
-test regenerates the bit-identical torch model from the stored seed,
-replays OUR pipeline at the same reduced config, and holds it to the same
-equivalence criteria as the toy e2e differential
-(test_ref_e2e_differential.py) — now in the real percentile/accumulation
-regime (197 tokens vs 9) the toy shapes cannot reach.
+The reference side (actual upstream code on CPU torch) costs ~20-50 min per
+fixture, so it is run ONCE by scripts/midscale_differential.py (--ref /
+--ref-optimize) and cached as small fixtures (logits + AdaLog base
+selections + per-block rec errors + weight checksum); these tests regenerate
+the bit-identical torch model from the stored seed, replay OUR pipeline at
+the same reduced config, and hold it to the same equivalence criteria as the
+toy e2e differentials (test_ref_e2e_differential.py) — now in the real
+percentile/accumulation regime (197 tokens vs 9) the toy shapes cannot
+reach. Two independent seed sets and a 64-image val batch (round 5) shrink
+the binomial slack the round-4 16-image fixture needed.
 """
 
+import json
 import os
 import sys
 
@@ -23,23 +26,27 @@ import midscale_differential as md  # noqa: E402
 
 
 @pytest.mark.slow
-@pytest.mark.skipif(not os.path.exists(md.FIXTURE),
-                    reason="midscale fixture not built "
-                           "(scripts/midscale_differential.py --ref)")
-def test_midscale_pipeline_vs_reference():
+@pytest.mark.parametrize("seed_set", sorted(md.SEEDS))
+def test_midscale_pipeline_vs_reference(seed_set):
+    if not os.path.exists(md.FIXTURES[seed_set]):
+        pytest.skip(f"midscale fixture {seed_set} not built "
+                    f"(scripts/midscale_differential.py --ref "
+                    f"--seed-set {seed_set})")
     import jax.numpy as jnp
     from adalog_tpu.models.vit import ViTConfig, vit_forward
     from adalog_tpu.models.load import load_vit
     from adalog_tpu.utils.config import Config
     from adalog_tpu.calib.calibrator import QuantCalibrator
 
-    fx = np.load(md.FIXTURE, allow_pickle=False)
-    tm = md.make_model()
+    fx = np.load(md.FIXTURES[seed_set], allow_pickle=False)
+    meta = json.loads(str(fx["meta"]))
+    seed_model, seed_data = md.SEEDS[seed_set]
+    tm = md.make_model(seed_model)
     # guards fixture/model drift: the fixture's logits are only comparable
     # if torch regenerated the exact weights the reference calibrated
     assert abs(md.weight_checksum(tm) - float(fx["weight_checksum"])) < 1e-3
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
-    calib_np, val_np = md.make_data()
+    calib_np, val_np = md.make_data(seed_data, meta["val_n"])
 
     cfg_j = ViTConfig(img_size=md.IMG, patch_size=md.PATCH, dim=md.DIM,
                       depth=md.DEPTH, heads=md.HEADS,
@@ -77,18 +84,20 @@ def test_midscale_pipeline_vs_reference():
 
     # prediction preservation over 1000 classes. On random weights the FP
     # top1-top2 margin (0.067 mean) is far below the 4-bit quant error
-    # (q_err_ref 0.114), so the REFERENCE's own quantized argmax only
-    # matches its FP argmax 10/16 = 0.625 — quantization itself flips the
-    # prediction ~37% of the time here, and direct ours-vs-ref agreement
-    # (measured 0.6875) is bounded by that noise, not by pipeline parity.
-    # The calibrated gate: our quantization must preserve FP predictions at
-    # least as well as the reference's does, within 2/16 binomial slack
-    # (std of a 16-sample agreement rate at p=0.625 is ~0.12).
+    # (q_err_ref ~0.11), so quantization alone flips the reference's own
+    # argmax ~35-40% of the time here — direct ours-vs-ref agreement is
+    # bounded by that noise, not by pipeline parity. The calibrated gate:
+    # our quantization must preserve FP predictions at least as well as the
+    # reference's does. The two rates are a PAIRED comparison on the same
+    # images but the two trajectories fork (reparam near-ties), so the
+    # difference still carries ~sqrt(2 p(1-p)/n) binomial noise ~0.08 at
+    # n=64, p~0.6; 4/64 = 0.0625 is within one std — it catches systematic
+    # degradation, not noise (round-4 fixture needed 2/16 = 0.125).
     fp_pred = fp_ours.argmax(-1)
     agree_ref_fp = float((fx["ref_logits"].argmax(-1) == fp_pred).mean())
     agree_ours_fp = float((our_logits.argmax(-1) == fp_pred).mean())
     n = fp_pred.shape[0]
-    assert agree_ours_fp >= agree_ref_fp - 2.0 / n, \
+    assert agree_ours_fp >= agree_ref_fp - 4.0 / n, \
         (agree_ours_fp, agree_ref_fp)
 
     # AdaLog integer bases. Post-softmax: exact at >=75% of depths (stable
@@ -112,3 +121,65 @@ def test_midscale_pipeline_vs_reference():
     assert gelu_adj == md.DEPTH, (q_gelu, list(fx["q_gelu"]))
     assert gelu_exact >= int(np.ceil(md.DEPTH * 0.5)), (q_gelu,
                                                         list(fx["q_gelu"]))
+
+
+@pytest.mark.slow
+def test_midscale_brecq_vs_reference():
+    """--optimize differential at deit-tiny shape (VERDICT r4 missing #2):
+    the reference BlockReconstructor ran ONCE at 300 iters/block with the
+    optimization set equal to the batch (16), so both implementations see
+    the identical full-set batch every iteration — the remaining divergence
+    is optimizer/rounding fp math, not data sampling. Gates: per-block FINAL
+    reconstruction errors against pristine-model I/O, end-to-end quantized
+    quality, BRECQ improvement over the calibrate state, and prediction
+    preservation."""
+    if not os.path.exists(md.BRECQ_FIXTURE):
+        pytest.skip("midscale BRECQ fixture not built "
+                    "(scripts/midscale_differential.py --ref-optimize)")
+    fx = np.load(md.BRECQ_FIXTURE, allow_pickle=False)
+    meta = json.loads(str(fx["meta"]))
+    r = md._our_pipeline(0, optimize=True, val_n=meta["val_n"])
+    assert abs(r["weight_checksum"] - float(fx["weight_checksum"])) < 1e-3
+
+    our_logits, fp_ours = r["logits"], r["fp_ours"]
+    fp_err = float(np.abs(fp_ours - fx["fp_ref"]).mean())
+    assert fp_err < 5e-4, fp_err
+
+    # block-level: final rec error of every reconstructed block on the same
+    # pristine-model I/O, same MSE definition both sides. AdaRound
+    # trajectories fork per block (fp optimizer math over 300 iters), so the
+    # gate is a two-sided per-block ratio plus a tighter geometric-mean
+    # bound across the 14 blocks (systematic quality loss cannot hide in
+    # per-block noise).
+    ref_rec = {str(n): float(e)
+               for n, e in zip(fx["block_names"], fx["block_rec"])}
+    ours_rec = r["block_rec"]
+    assert set(ref_rec) == set(ours_rec), (sorted(ref_rec),
+                                           sorted(ours_rec))
+    ratios = np.array([ours_rec[n] / ref_rec[n] for n in sorted(ref_rec)])
+    gmean = float(np.exp(np.log(ratios).mean()))
+    assert (ratios < 2.0).all() and (ratios > 0.5).all(), \
+        dict(zip(sorted(ref_rec), ratios.round(3)))
+    assert 0.75 <= gmean <= 1.33, (gmean, ratios.round(3))
+
+    # end-to-end: both reconstructed models approximate FP32 equally well
+    # (toy BRECQ gate 1.4, test_ref_e2e_differential.py; the deterministic
+    # full-set batch here removes the sampling fork that gate absorbed)
+    q_err_ours = float(np.abs(our_logits - fp_ours).mean())
+    q_err_ref = float(fx["q_err_opt"])
+    assert q_err_ours <= q_err_ref * 1.4 and q_err_ref <= q_err_ours * 1.4, \
+        (q_err_ours, q_err_ref)
+
+    # BRECQ must not be a regression vs the calibrate state on either side
+    # (the reference's own improvement is recorded in the fixture)
+    q_err_calib = float(np.abs(r["logits_calib"] - fp_ours).mean())
+    assert q_err_ours <= q_err_calib * 1.05, (q_err_ours, q_err_calib)
+
+    # prediction preservation, same paired-binomial reasoning as the
+    # calibrate gate above (n=64)
+    fp_pred = fp_ours.argmax(-1)
+    agree_ref_fp = float((fx["ref_logits_opt"].argmax(-1) == fp_pred).mean())
+    agree_ours_fp = float((our_logits.argmax(-1) == fp_pred).mean())
+    n = fp_pred.shape[0]
+    assert agree_ours_fp >= agree_ref_fp - 4.0 / n, \
+        (agree_ours_fp, agree_ref_fp)
