@@ -204,6 +204,10 @@ def main(args):
         eval_mesh_tp = make_mesh_2d(mesh.devices.size // tp, tp)
         log.info("eval on a 2D dp×tp mesh: %s", eval_mesh_tp)
 
+    from adalog_tpu.ops.kernel_defaults import resolve_kernel_config
+    resolve_kernel_config(cfg, spec)   # None = auto -> measured per-model
+    log.info("eval kernels: use_pallas=%s eval_int8=%s",
+             cfg.use_pallas, cfg.eval_int8)
     if cfg.use_pallas:
         # Under a mesh the eval forward runs inside shard_map (below) — dp
         # shards the batch, tp shards weights/heads with in-forward psums
@@ -238,7 +242,7 @@ def main(args):
         return make_predictor(
             spec, p, qs, eval_dtype=cfg.eval_dtype,
             mesh=eval_mesh_tp if eval_mesh_tp is not None else mesh,
-            int8_prep=_prep_int8(p, qs))
+            int8_prep=_prep_int8(p, qs), cfg=cfg)
 
     def load_any_checkpoint(path):
         """Route by format: the reference's torch.save(state_dict) .pth/.bin

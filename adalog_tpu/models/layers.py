@@ -166,7 +166,14 @@ def qlinear(p: LinearP, site: Optional[LinearSite], x, *, mode: str = "raw",
             return int8_linear.int8_qlinear(p, site, x, name=name)
     w = p.w
     if site is not None and mode in ("quant", "w_only"):
-        w = quant_linear_weight(p, site, soft=soft, training=training)
+        w = None
+        if not training and not soft:
+            # load-time-prepared fake-quant weights (ops/weight_prep.py):
+            # skips the per-call round/clip/scale over the full O*I matrix
+            from adalog_tpu.ops import weight_prep
+            w = weight_prep.lookup(name, p.w.shape)
+        if w is None:
+            w = quant_linear_weight(p, site, soft=soft, training=training)
     if site is not None and mode in ("quant", "a_only"):
         from adalog_tpu.ops import fq_gemm
         if not training and row_axis is None and fq_gemm.supports(site, mode):

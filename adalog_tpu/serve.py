@@ -32,41 +32,59 @@ log = logging.getLogger("adalog_tpu")
 
 
 def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
-                   mesh=None, int8_prep=None):
+                   mesh=None, int8_prep=None, cfg=None):
     """Build ``predict(images) -> logits`` for a (params, qstate) pair.
 
     ``mesh``: None, a 1D ('dp',) jax.sharding.Mesh, or a 2D ('dp', 'tp')
     mesh. ``eval_dtype='bfloat16'`` runs the forward in bf16 (quantizer math
     stays fp32 internally) — the shipped fast path on TPU. ``int8_prep``:
-    an ``ops.int8_linear.prepare()`` table; it is activated around every
-    predictor call (including the lazy first-trace) so THIS load's weight
-    codes are baked in even if another model is loaded in between.
+    an ``ops.int8_linear.prepare()`` table; it is threaded through the
+    jitted forward as a traced ARGUMENT (activated inside the traced body),
+    so THIS load's weight codes bind to this predictor even if another
+    model is loaded in between, without ever being serialized into the
+    executable. ``cfg``: when given, fake-quantized weights for the
+    remaining Linear sites are ALSO materialized once here
+    (ops/weight_prep.py) — without it every call re-quantizes every weight
+    matrix (measured -10% end-to-end at deit_base).
     """
     import jax
     import jax.numpy as jnp
     from adalog_tpu.models.zoo import model_forward_fn
+    from adalog_tpu.ops import int8_linear as _i8
+    from adalog_tpu.ops import weight_prep as _wp
 
     fwd = model_forward_fn(spec)
     dtype = jnp.bfloat16 if eval_dtype == "bfloat16" else jnp.float32
 
-    def _with_prep(fn):
-        if int8_prep is None:
-            return fn
-        from adalog_tpu.ops import int8_linear
+    # params/qstate/prep are jit ARGUMENTS, never closure constants: a
+    # closed-over concrete array is baked into the serialized HLO as a
+    # literal, and at vit_large scale (~600 MB of bf16 weights) the program
+    # exceeds what a remote-compile transport will carry (observed: axon
+    # relay HTTP 413 "length limit exceeded"). Argument-passing keeps the
+    # executable weight-free; the cast to eval dtype happens ONCE here
+    # instead of inside every call.
+    pp0 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a).astype(dtype), params)
+    wprep = None
+    if cfg is not None:
+        wprep = _wp.prepare(spec, pp0, qstate, cfg,
+                            skip=set(int8_prep or ()))
 
-        def wrapped(x):
-            with int8_linear.activate(int8_prep):
-                return fn(x)
-        return wrapped
+    def _body(pp, qs, prep, wp, x):
+        # activating INSIDE the traced body makes the tables' arrays traced
+        # arguments of this very trace (the layer fns read the active table
+        # at trace time), so prepared codes/weights are not constants either
+        with _i8.activate(prep), _wp.activate(wp):
+            return fwd(spec.cfg, pp, x.astype(dtype), qs,
+                       {"*": "quant"}).astype(jnp.float32)
 
-    @jax.jit
+    fj_single = jax.jit(_body)
+
     def f_single(x):
-        x = x.astype(dtype)
-        pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
-        return fwd(spec.cfg, pp, x, qstate, {"*": "quant"}).astype(jnp.float32)
+        return fj_single(pp0, qstate, int8_prep, wprep, x)
 
     if mesh is None:
-        return _with_prep(f_single)
+        return f_single
 
     if "tp" in mesh.axis_names:
         from adalog_tpu.parallel.mesh import shard_batch
@@ -84,31 +102,34 @@ def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
             if pad:
                 x = jnp.concatenate(
                     [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-            out = f_tp(shard_batch(x, mesh))
+            # tp weight shards mismatch the full-model prep tables (the
+            # layer fns then requantize the local shard), but unsharded
+            # sites still hit them — keep the trace-time activation
+            if int8_prep is not None:
+                with _i8.activate(int8_prep):
+                    out = f_tp(shard_batch(x, mesh))
+            else:
+                out = f_tp(shard_batch(x, mesh))
             return out[:n] if pad else out
 
-        return _with_prep(predict_tp)
+        return predict_tp
 
     from adalog_tpu.parallel.mesh import dp_shard_map, shard_batch
 
-    def local(pp, lqs, x):
-        return fwd(spec.cfg, pp, x, lqs, {"*": "quant"}).astype(jnp.float32)
+    def local(pp, lqs, prep, wp, x):
+        with _i8.activate(prep), _wp.activate(wp):
+            return fwd(spec.cfg, pp, x.astype(dtype), lqs,
+                       {"*": "quant"}).astype(jnp.float32)
 
-    sm = dp_shard_map(local, mesh, n_replicated=2)
-
-    @jax.jit
-    def f_sm(x):
-        x = x.astype(dtype)
-        pp = jax.tree_util.tree_map(lambda a: a.astype(dtype), params)
-        return sm(pp, qstate, x)
+    f_sm = jax.jit(dp_shard_map(local, mesh, n_replicated=4))
 
     def predict_dp(x):
         x = jnp.asarray(x)
         if x.shape[0] % mesh.devices.size == 0:
-            return f_sm(shard_batch(x, mesh))
+            return f_sm(pp0, qstate, int8_prep, wprep, shard_batch(x, mesh))
         return f_single(x)        # remainder batch: single-program path
 
-    return _with_prep(predict_dp)
+    return predict_dp
 
 
 def load_quantized(model: str, checkpoint: str, *, config=None,
@@ -152,6 +173,8 @@ def load_quantized(model: str, checkpoint: str, *, config=None,
         spec = model_spec(model)
         params, qstate, _ = load_checkpoint(checkpoint)
 
+    from adalog_tpu.ops.kernel_defaults import resolve_kernel_config
+    resolve_kernel_config(cfg, spec)   # None = auto -> measured per-model
     enable = cfg.use_pallas if use_pallas is None else use_pallas
     if enable:
         from adalog_tpu.ops import fq_attn
@@ -185,5 +208,5 @@ def load_quantized(model: str, checkpoint: str, *, config=None,
             mesh = make_mesh(n)
 
     predict = make_predictor(spec, params, qstate, eval_dtype=eval_dtype,
-                             mesh=mesh, int8_prep=int8_prep)
+                             mesh=mesh, int8_prep=int8_prep, cfg=cfg)
     return predict, spec, params, qstate

@@ -13,6 +13,7 @@ import importlib.util
 import os
 import sys
 from dataclasses import dataclass, fields
+from typing import Optional
 
 
 @dataclass
@@ -114,18 +115,21 @@ class Config:
     # device execution (multi-minute monolithic scans crash the tunneled
     # worker); the carry is donated between segments
     recon_seg_iters: int = 1000
-    use_pallas: bool = False    # Pallas fused attention kernels. Default set
-    #   by measurement against CALIBRATED checkpoints (BENCH_r04, median-of-3
-    #   chained true-execution, deit_small bs128): bf16 XLA 3802 img/s vs
-    #   bf16+fqattn 3675 — XLA's own attention fusion wins once calibration
-    #   has bias-folded the shifted post-GeLU sites and downgraded cheap log
-    #   bases. Against an UNCALIBRATED qstate the flash kernel still wins
-    #   (+11%: 3847 vs 3455, scripts/probe_eval_throughput.py back-to-back
-    #   same session) — the round-3 default of True came from that probe;
-    #   serving uses calibrated state, so the shipped default is off.
+    use_pallas: Optional[bool] = None   # Pallas fused attention kernels.
+    #   None = auto: per-MODEL measured defaults (ops/kernel_defaults.py) —
+    #   the verdict is model-dependent. Against CALIBRATED checkpoints
+    #   (median-of-3 true-execution, same session per model): deit_small
+    #   bf16-XLA 3850 img/s beats fqattn 3711 (XLA's own attention fusion
+    #   wins once calibration bias-folds the shifted post-GeLU sites and
+    #   downgrades cheap log bases), but the flash kernel wins +12.6% at
+    #   deit_base and +57% at swin_base_384 (scripts/bench_eval_scale.py).
+    #   Against an UNCALIBRATED qstate the kernel wins even at deit_small
+    #   (+11%, scripts/probe_eval_throughput.py). Explicit True/False here
+    #   overrides the auto table.
     use_pallas_gemm: bool = False   # Pallas fused linear GEMM kernels —
     #   measured SLOWER than XLA's own fusion at ViT shapes; opt-in
-    eval_int8: bool = False     # true-int8 MXU GEMMs for uniform Linear sites
+    eval_int8: Optional[bool] = None    # true-int8 MXU GEMMs for uniform
+    #   Linear sites. None = auto per model (ops/kernel_defaults.py)
 
     @classmethod
     def from_object(cls, obj) -> "Config":

@@ -123,7 +123,7 @@ def main():
     enable_compilation_cache()
     from adalog_tpu.models.zoo import model_forward_fn
     from adalog_tpu.utils.config import Config
-    from adalog_tpu.ops import fq_attn, int8_linear
+    from adalog_tpu.ops import fq_attn, int8_linear, weight_prep
 
     print(f"devices: {jax.devices()}", flush=True)
     only = {m for m in os.environ.get("SCALE_MODELS", "").split(",") if m}
@@ -154,6 +154,9 @@ def main():
             ("bf16", False, False),
             ("bf16+flash", True, False),
             ("int8prep+bf16", False, True),
+            # flash covers attention, int8 the uniform GEMMs — independent
+            # site sets, so the wins should compose where both help
+            ("bf16+flash+int8prep", True, True),
         ]
         mres = results.setdefault(model, {})
         mres.update({"batch": bs, "iters": iters, "chained": chain,
@@ -169,17 +172,30 @@ def main():
             p = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16), new_params)
 
-            def f(xc):
-                return fwd(spec.cfg, p, xc.astype(jnp.bfloat16), qstate,
-                           {"*": "quant"}).astype(jnp.float32)
+            # params/qstate/prep are jit ARGUMENTS — closed-over arrays are
+            # baked into the serialized HLO as literals, and vit_large's
+            # ~600 MB of bf16 weights exceed the relay's remote-compile body
+            # limit (HTTP 413, first hit here; serve.make_predictor carries
+            # the same fix). activate() inside the traced body makes the
+            # prepared codes traced args too.
+            # fake-quant weights of the remaining Linear sites materialized
+            # once (ops/weight_prep.py) — the serving path does the same;
+            # without it every call re-quantizes every weight matrix
+            wprep = weight_prep.prepare(spec, p, qstate, cfg,
+                                        skip=set(prep or ()))
 
-            fj = jax.jit(f)
+            def raw(pp, qs, pr, wp, xc):
+                with int8_linear.activate(pr), weight_prep.activate(wp):
+                    return fwd(spec.cfg, pp, xc.astype(jnp.bfloat16), qs,
+                               {"*": "quant"}).astype(jnp.float32)
+
+            fj = jax.jit(raw)
 
             @jax.jit
-            def chained(x0):
+            def chained(pp, qs, pr, wp, x0):
                 def body(_, carry):
                     acc, xc = carry
-                    out = f(xc)
+                    out = raw(pp, qs, pr, wp, xc)
                     acc = acc + out[0, 0]
                     xc = x0 + (acc * 1e-30).astype(x0.dtype)
                     return (acc, xc)
@@ -187,23 +203,26 @@ def main():
                                            (jnp.float32(0.0), x0))
                 return acc
 
+            def run_once():
+                return (chained(p, qstate, prep, wprep, x) if chain
+                        else fj(p, qstate, prep, wprep, x))
+
             def measure_once():
                 if chain:
                     t0 = time.time()
-                    np.asarray(chained(x))
+                    np.asarray(run_once())
                 else:
                     t0 = time.time()
-                    outs = [fj(x) for _ in range(iters)]
+                    outs = [run_once() for _ in range(iters)]
                     np.asarray(outs[-1])       # drain the async queue
                 return time.time() - t0
 
             try:
-                with int8_linear.activate(prep):
-                    # compile + first execution (not timed)
-                    t0 = time.time()
-                    np.asarray(chained(x) if chain else fj(x))
-                    compile_s = time.time() - t0
-                    times = [measure_once() for _ in range(eval_runs)]
+                # compile + first execution (not timed)
+                t0 = time.time()
+                np.asarray(run_once())
+                compile_s = time.time() - t0
+                times = [measure_once() for _ in range(eval_runs)]
                 dt = float(np.median(times))
                 ips = bs * iters / dt
                 tflops = gflop * ips / 1e3
