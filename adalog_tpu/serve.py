@@ -31,21 +31,30 @@ import numpy as np
 log = logging.getLogger("adalog_tpu")
 
 
+# Past this many weight bytes the predictor passes params as jit arguments
+# instead of baking them into the executable as constants: the serialized
+# HLO grows by the weight bytes (the axon relay's remote-compile rejects
+# vit_large's ~600 MB with HTTP 413, and recompiles repeat per checkpoint).
+# Below it, baking wins ~3-6% end-to-end (XLA constant-folds the entire
+# weight fake-quant pipeline and specializes layouts at compile time —
+# deit_small measured 3850 img/s baked vs 3731 best-args, BENCH_r04/r05).
+BAKE_LIMIT_BYTES = 128 * 1024 * 1024
+
+
 def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
-                   mesh=None, int8_prep=None, cfg=None):
+                   mesh=None, int8_prep=None, cfg=None, bake_weights=None):
     """Build ``predict(images) -> logits`` for a (params, qstate) pair.
 
     ``mesh``: None, a 1D ('dp',) jax.sharding.Mesh, or a 2D ('dp', 'tp')
     mesh. ``eval_dtype='bfloat16'`` runs the forward in bf16 (quantizer math
     stays fp32 internally) — the shipped fast path on TPU. ``int8_prep``:
-    an ``ops.int8_linear.prepare()`` table; it is threaded through the
-    jitted forward as a traced ARGUMENT (activated inside the traced body),
-    so THIS load's weight codes bind to this predictor even if another
-    model is loaded in between, without ever being serialized into the
-    executable. ``cfg``: when given, fake-quantized weights for the
-    remaining Linear sites are ALSO materialized once here
-    (ops/weight_prep.py) — without it every call re-quantizes every weight
-    matrix (measured -10% end-to-end at deit_base).
+    an ``ops.int8_linear.prepare()`` table bound to THIS predictor (not a
+    process global), so two loaded models never see each other's codes.
+    ``cfg``: when given, fake-quantized weights for the remaining Linear
+    sites are ALSO materialized once here (ops/weight_prep.py) — without it
+    every call re-quantizes every weight matrix (measured -10% end-to-end
+    at deit_base). ``bake_weights``: None = auto by total weight bytes
+    (BAKE_LIMIT_BYTES); True/False forces constants vs jit-argument weights.
     """
     import jax
     import jax.numpy as jnp
@@ -56,32 +65,44 @@ def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
     fwd = model_forward_fn(spec)
     dtype = jnp.bfloat16 if eval_dtype == "bfloat16" else jnp.float32
 
-    # params/qstate/prep are jit ARGUMENTS, never closure constants: a
-    # closed-over concrete array is baked into the serialized HLO as a
-    # literal, and at vit_large scale (~600 MB of bf16 weights) the program
-    # exceeds what a remote-compile transport will carry (observed: axon
-    # relay HTTP 413 "length limit exceeded"). Argument-passing keeps the
-    # executable weight-free; the cast to eval dtype happens ONCE here
-    # instead of inside every call.
+    # cast to the eval dtype ONCE here instead of inside every call
     pp0 = jax.tree_util.tree_map(
         lambda a: jnp.asarray(a).astype(dtype), params)
     wprep = None
     if cfg is not None:
         wprep = _wp.prepare(spec, pp0, qstate, cfg,
                             skip=set(int8_prep or ()))
+    if bake_weights is None:
+        n_bytes = sum(a.size * a.dtype.itemsize
+                      for a in jax.tree_util.tree_leaves(pp0))
+        bake_weights = n_bytes <= BAKE_LIMIT_BYTES
+    log.info("predictor: bake_weights=%s", bake_weights)
 
-    def _body(pp, qs, prep, wp, x):
-        # activating INSIDE the traced body makes the tables' arrays traced
-        # arguments of this very trace (the layer fns read the active table
-        # at trace time), so prepared codes/weights are not constants either
-        with _i8.activate(prep), _wp.activate(wp):
-            return fwd(spec.cfg, pp, x.astype(dtype), qs,
-                       {"*": "quant"}).astype(jnp.float32)
+    if bake_weights:
+        # small model: close over everything — XLA constant-folds the weight
+        # pipeline and layout-specializes the executable
+        @jax.jit
+        def fj_baked(x):
+            with _i8.activate(int8_prep), _wp.activate(wprep):
+                return fwd(spec.cfg, pp0, x.astype(dtype), qstate,
+                           {"*": "quant"}).astype(jnp.float32)
 
-    fj_single = jax.jit(_body)
+        def f_single(x):
+            return fj_baked(x)
+    else:
+        def _body(pp, qs, prep, wp, x):
+            # activating INSIDE the traced body makes the tables' arrays
+            # traced arguments of this very trace (the layer fns read the
+            # active table at trace time), so prepared codes/weights are
+            # not constants either
+            with _i8.activate(prep), _wp.activate(wp):
+                return fwd(spec.cfg, pp, x.astype(dtype), qs,
+                           {"*": "quant"}).astype(jnp.float32)
 
-    def f_single(x):
-        return fj_single(pp0, qstate, int8_prep, wprep, x)
+        fj_single = jax.jit(_body)
+
+        def f_single(x):
+            return fj_single(pp0, qstate, int8_prep, wprep, x)
 
     if mesh is None:
         return f_single
@@ -116,17 +137,31 @@ def make_predictor(spec, params, qstate, *, eval_dtype: str = "float32",
 
     from adalog_tpu.parallel.mesh import dp_shard_map, shard_batch
 
-    def local(pp, lqs, prep, wp, x):
-        with _i8.activate(prep), _wp.activate(wp):
-            return fwd(spec.cfg, pp, x.astype(dtype), lqs,
-                       {"*": "quant"}).astype(jnp.float32)
+    if bake_weights:
+        def local_baked(x):
+            with _i8.activate(int8_prep), _wp.activate(wprep):
+                return fwd(spec.cfg, pp0, x.astype(dtype), qstate,
+                           {"*": "quant"}).astype(jnp.float32)
 
-    f_sm = jax.jit(dp_shard_map(local, mesh, n_replicated=4))
+        f_sm_b = jax.jit(dp_shard_map(local_baked, mesh, n_replicated=0))
+
+        def f_sm(x_sharded):
+            return f_sm_b(x_sharded)
+    else:
+        def local(pp, lqs, prep, wp, x):
+            with _i8.activate(prep), _wp.activate(wp):
+                return fwd(spec.cfg, pp, x.astype(dtype), lqs,
+                           {"*": "quant"}).astype(jnp.float32)
+
+        f_sm_a = jax.jit(dp_shard_map(local, mesh, n_replicated=4))
+
+        def f_sm(x_sharded):
+            return f_sm_a(pp0, qstate, int8_prep, wprep, x_sharded)
 
     def predict_dp(x):
         x = jnp.asarray(x)
         if x.shape[0] % mesh.devices.size == 0:
-            return f_sm(pp0, qstate, int8_prep, wprep, shard_batch(x, mesh))
+            return f_sm(shard_batch(x, mesh))
         return f_single(x)        # remainder batch: single-program path
 
     return predict_dp

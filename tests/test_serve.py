@@ -127,3 +127,32 @@ def test_predictor_tp_bfloat16(rng):
     y1 = np.asarray(pred1(x))
     y = np.asarray(pred(x))
     np.testing.assert_allclose(y, y1, rtol=2e-2, atol=2e-2)
+
+
+def test_predictor_bake_and_args_paths_agree(rng):
+    """Small models bake weights into the executable (XLA constant-folds the
+    weight fake-quant pipeline); big ones pass them as jit arguments (serialized
+    constants exceed remote-compile limits at vit_large scale). Both execution
+    schemes — and the load-time weight_prep table the args scheme relies on —
+    must produce identical logits."""
+    params, qstate, x = _fixture(rng)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    y_ref = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+    for bake in (True, False):
+        pred = make_predictor(TinySpec, params, qstate, cfg=cfg,
+                              bake_weights=bake)
+        np.testing.assert_allclose(np.asarray(pred(x)), y_ref,
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_predictor_dp_mesh_arg_weights(rng):
+    """The dp shard_map path with jit-argument weights (big-model scheme)."""
+    from adalog_tpu.parallel.mesh import make_mesh
+
+    params, qstate, x = _fixture(rng, n=16)
+    cfg = Config(w_bit=4, a_bit=4, s_bit=4, qhead_a_bit=4)
+    pred = make_predictor(TinySpec, params, qstate, mesh=make_mesh(8),
+                          cfg=cfg, bake_weights=False)
+    y_ref = np.asarray(vit_forward(CFG, params, x, qstate, {"*": "quant"}))
+    np.testing.assert_allclose(np.asarray(pred(x)), y_ref,
+                               rtol=2e-5, atol=2e-5)
