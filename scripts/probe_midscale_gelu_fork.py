@@ -40,8 +40,10 @@ def main():
     import torch
 
     blocks = [int(a) for a in sys.argv[1:]] or [0, 1, 2, 3, 4, 5]
-    tm = md.make_model()
-    calib_np, _ = md.make_data()
+    seed_set = int(os.environ.get("SEED_SET", "0"))
+    seed_model, seed_data = md.SEEDS[seed_set]
+    tm = md.make_model(seed_model)
+    calib_np, _ = md.make_data(seed_data)
     x_t = torch.from_numpy(np.transpose(calib_np, (0, 3, 1, 2)))
 
     taps = {}

