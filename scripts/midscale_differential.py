@@ -380,6 +380,11 @@ def run_ours_optimize():
     assert abs(r["weight_checksum"] - float(fx["weight_checksum"])) < 1e-3
 
     our_logits, fp_ours = r["logits"], r["fp_ours"]
+    # keep the raw logits around so fork analysis (margins, per-sample
+    # flips vs the fixture) doesn't need a pipeline re-run
+    np.savez_compressed("/tmp/midscale_brecq_ours.npz",
+                        logits=our_logits, logits_calib=r["logits_calib"],
+                        fp_ours=fp_ours)
     q_err_calib = float(np.abs(r["logits_calib"] - fp_ours).mean())
     q_err_opt = float(np.abs(our_logits - fp_ours).mean())
     ref_names = [str(n) for n in fx["block_names"]]
