@@ -63,6 +63,19 @@ CALIB_N, VAL_N, EQ_N, ROUNDS, STEPS = 16, 64, 32, 1, 6
 SEEDS = {0: (0, 100), 1: (1, 101)}
 # BRECQ reduction (see module docstring)
 RECON_ITERS, OPT_BATCH = 300, 16
+# The BRECQ fixture calibrates at eq_n=64, not 32: the post-GeLU joint FPCS
+# (reference linear.py:941-967, fpcs_width=32) degenerates at eq_n=32 into a
+# one-child-per-survivor walk whose delta DOUBLES each step — the final
+# (scale, base) argmax over 32 near-tie candidates is then fp-noise-chaotic,
+# and the measured result is block-specific fc2 scale forks that start BRECQ
+# from a ~1.5x worse state in 3 of 12 blocks (/tmp/r5_site_fork.log,
+# scripts/probe_midscale_site_fork.py). eq_n=64 keeps the refinement a
+# contraction (2 children, delta/1.5), so the BRECQ differential gates BRECQ
+# itself, not an amplified calibrate near-tie. Shipped configs use eq_n=128
+# and never enter the degenerate regime; the calibrate fixtures keep eq_n=32
+# deliberately (they gate the search including that regime, with measured
+# tolerances).
+BRECQ_EQ_N = 64
 
 
 def make_data(seed_data, val_n=VAL_N):
@@ -86,7 +99,7 @@ def weight_checksum(tm):
         return float(sum(p.double().abs().sum() for p in tm.parameters()))
 
 
-def ref_cfg():
+def ref_cfg(eq=EQ_N):
     class RefCfg:
         w_bit = BITS
         a_bit = BITS
@@ -95,7 +108,7 @@ def ref_cfg():
         qconv_a_bit = 8
         calib_batch_size = CALIB_N
         search_round = ROUNDS
-        eq_n = EQ_N
+        eq_n = eq
         fpcs = True
         steps = STEPS
         matmul_head_channel_wise = True
@@ -180,7 +193,8 @@ def run_reference_optimize():
         full_model = copy.deepcopy(tm)
         with torch.no_grad():
             fp_ref = tm(torch.tensor(val_np.transpose(0, 3, 1, 2))).numpy()
-        ref.wrap_net.wrap_modules_in_net(tm, ref_cfg(), reparam=True)
+        ref.wrap_net.wrap_modules_in_net(tm, ref_cfg(eq=BRECQ_EQ_N),
+                                         reparam=True)
         loader = [(torch.tensor(calib_np.transpose(0, 3, 1, 2)),
                    torch.zeros(CALIB_N))]
         print(f"[{time.time()-t0:.0f}s] wrapped; calibrating", flush=True)
@@ -252,8 +266,8 @@ def run_reference_optimize():
         weight_checksum=chk, wall_s=wall,
         meta=json.dumps(dict(img=IMG, patch=PATCH, dim=DIM, depth=DEPTH,
                              heads=HEADS, classes=CLASSES, bits=BITS,
-                             calib_n=CALIB_N, val_n=len(val_np), eq_n=EQ_N,
-                             rounds=ROUNDS, steps=STEPS,
+                             calib_n=CALIB_N, val_n=len(val_np),
+                             eq_n=BRECQ_EQ_N, rounds=ROUNDS, steps=STEPS,
                              recon_iters=RECON_ITERS, opt_batch=OPT_BATCH,
                              seed_model=seed_model, seed_data=seed_data)))
     print(f"reference optimize done in {wall:.1f}s; "
@@ -261,9 +275,12 @@ def run_reference_optimize():
           f"fixture -> {BRECQ_FIXTURE}", flush=True)
 
 
-def _our_pipeline(seed_set: int, optimize: bool, val_n: int):
+def _our_pipeline(seed_set: int, optimize: bool, val_n: int,
+                  eq_n: int = None):
     """Our calibrate (+ optional BRECQ) at the fixture config; returns the
-    comparison statistics. Shared by --ours/--ours-optimize and the tests."""
+    comparison statistics. Shared by --ours/--ours-optimize and the tests.
+    ``eq_n`` defaults to EQ_N for calibrate fixtures and BRECQ_EQ_N for the
+    optimize flow (see the BRECQ_EQ_N comment)."""
     import jax
     import jax.numpy as jnp
     from adalog_tpu.models.vit import ViTConfig, vit_forward
@@ -286,8 +303,10 @@ def _our_pipeline(seed_set: int, optimize: bool, val_n: int):
 
     params = load_vit(cfg_j, sd)
     params_full = jax.tree_util.tree_map(lambda a: a, params)
+    if eq_n is None:
+        eq_n = BRECQ_EQ_N if optimize else EQ_N
     cfg = Config(w_bit=BITS, a_bit=BITS, s_bit=BITS, qhead_a_bit=BITS,
-                 eq_n=EQ_N, search_round=ROUNDS, steps=STEPS,
+                 eq_n=eq_n, search_round=ROUNDS, steps=STEPS,
                  recon_iters=RECON_ITERS, optim_batch_size=OPT_BATCH)
     t0 = time.time()
     calib = QuantCalibrator(Spec, params, cfg)
@@ -336,6 +355,16 @@ def _our_pipeline(seed_set: int, optimize: bool, val_n: int):
     out["fp_ours"] = np.asarray(vit_forward(cfg_j, params,
                                             jnp.asarray(val_np)))
     out["qstate"] = qstate
+    if optimize:
+        # fork-analysis artifact: margins / per-sample flips vs the fixture
+        # are recoverable without a pipeline re-run (also written when the
+        # test drives this path)
+        np.savez_compressed(
+            "/tmp/midscale_brecq_ours.npz", logits=out["logits"],
+            logits_calib=out["logits_calib"], fp_ours=out["fp_ours"],
+            block_rec_names=np.array(sorted(out["block_rec"])),
+            block_rec=np.array([out["block_rec"][n]
+                                for n in sorted(out["block_rec"])]))
     return out
 
 
@@ -380,11 +409,6 @@ def run_ours_optimize():
     assert abs(r["weight_checksum"] - float(fx["weight_checksum"])) < 1e-3
 
     our_logits, fp_ours = r["logits"], r["fp_ours"]
-    # keep the raw logits around so fork analysis (margins, per-sample
-    # flips vs the fixture) doesn't need a pipeline re-run
-    np.savez_compressed("/tmp/midscale_brecq_ours.npz",
-                        logits=our_logits, logits_calib=r["logits_calib"],
-                        fp_ours=fp_ours)
     q_err_calib = float(np.abs(r["logits_calib"] - fp_ours).mean())
     q_err_opt = float(np.abs(our_logits - fp_ours).mean())
     ref_names = [str(n) for n in fx["block_names"]]

@@ -127,16 +127,22 @@ def test_midscale_brecq_vs_reference():
     the reference BlockReconstructor ran ONCE at 300 iters/block with the
     optimization set equal to the batch (16), so both implementations see
     the identical full-set batch every iteration — the remaining divergence
-    is optimizer/rounding fp math, not data sampling. Gates: per-block FINAL
-    reconstruction errors against pristine-model I/O, end-to-end quantized
-    quality, BRECQ improvement over the calibrate state, and prediction
-    preservation."""
+    is optimizer/rounding fp math, not data sampling. This fixture
+    calibrates at eq_n=64 (not the calibrate fixtures' 32): at eq_n=32 the
+    reference's width-32 post-GeLU joint FPCS degenerates into a
+    delta-doubling walk whose final argmax is fp-noise-chaotic, which forked
+    fc2 scales in 3 of 12 blocks and started BRECQ from a ~1.5x worse state
+    there (measured: scripts/probe_midscale_site_fork.py; see BRECQ_EQ_N in
+    the harness). Gates: per-block FINAL reconstruction errors against
+    pristine-model I/O, end-to-end quantized quality, BRECQ improvement
+    parity over the calibrate state, and prediction preservation."""
     if not os.path.exists(md.BRECQ_FIXTURE):
         pytest.skip("midscale BRECQ fixture not built "
                     "(scripts/midscale_differential.py --ref-optimize)")
     fx = np.load(md.BRECQ_FIXTURE, allow_pickle=False)
     meta = json.loads(str(fx["meta"]))
-    r = md._our_pipeline(0, optimize=True, val_n=meta["val_n"])
+    r = md._our_pipeline(0, optimize=True, val_n=meta["val_n"],
+                         eq_n=meta["eq_n"])
     assert abs(r["weight_checksum"] - float(fx["weight_checksum"])) < 1e-3
 
     our_logits, fp_ours = r["logits"], r["fp_ours"]
@@ -168,10 +174,16 @@ def test_midscale_brecq_vs_reference():
     assert q_err_ours <= q_err_ref * 1.4 and q_err_ref <= q_err_ours * 1.4, \
         (q_err_ours, q_err_ref)
 
-    # BRECQ must not be a regression vs the calibrate state on either side
-    # (the reference's own improvement is recorded in the fixture)
+    # improvement parity: BRECQ's end-to-end gain over the calibrate state
+    # must be at least half the reference's relative gain (prediction-noise-
+    # free functional evidence that the training loop optimizes; measured
+    # ours -14.1% vs ref -15.8% in the round-5 TPU probe), and never a
+    # regression
     q_err_calib = float(np.abs(r["logits_calib"] - fp_ours).mean())
     assert q_err_ours <= q_err_calib * 1.05, (q_err_ours, q_err_calib)
+    rel_ref = 1.0 - float(fx["q_err_opt"]) / float(fx["q_err_calib"])
+    rel_ours = 1.0 - q_err_ours / q_err_calib
+    assert rel_ours >= 0.5 * rel_ref, (rel_ours, rel_ref)
 
     # prediction preservation, same paired-binomial reasoning as the
     # calibrate gate above (n=64)
