@@ -68,7 +68,7 @@ RECON_ITERS, OPT_BATCH = 300, 16
 # one-child-per-survivor walk whose delta DOUBLES each step — the final
 # (scale, base) argmax over 32 near-tie candidates is then fp-noise-chaotic,
 # and the measured result is block-specific fc2 scale forks that start BRECQ
-# from a ~1.5x worse state in 3 of 12 blocks (/tmp/r5_site_fork.log,
+# from a ~1.5x worse state in 4 of 12 blocks (/tmp/r5_site_fork.log,
 # scripts/probe_midscale_site_fork.py). eq_n=64 keeps the refinement a
 # contraction (2 children, delta/1.5), so the BRECQ differential gates BRECQ
 # itself, not an amplified calibrate near-tie. Shipped configs use eq_n=128

@@ -131,7 +131,7 @@ def test_midscale_brecq_vs_reference():
     calibrates at eq_n=64 (not the calibrate fixtures' 32): at eq_n=32 the
     reference's width-32 post-GeLU joint FPCS degenerates into a
     delta-doubling walk whose final argmax is fp-noise-chaotic, which forked
-    fc2 scales in 3 of 12 blocks and started BRECQ from a ~1.5x worse state
+    fc2 scales in 4 of 12 blocks and started BRECQ from a ~1.5x worse state
     there (measured: scripts/probe_midscale_site_fork.py; see BRECQ_EQ_N in
     the harness). Gates: per-block FINAL reconstruction errors against
     pristine-model I/O, end-to-end quantized quality, BRECQ improvement
