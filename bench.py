@@ -71,22 +71,24 @@ def tpu_preflight(timeout_s: int = None, retries: int = 2) -> bool:
     holds a stale claim (e.g. a previous client died mid-RPC). Probe it in a
     subprocess with a hard timeout so this benchmark cannot wedge the driver.
     """
-    # 240 s: post-crash client init was measured at ~150 s for well over the
-    # ~10 min CLAUDE.md suggests — a 150 s timeout then fails attempt 1 on a
-    # relay that is actually healthy, just slow to hand out the claim
+    # Escalating schedule: 240 s catches the common post-crash ~150 s init
+    # without stalling a healthy relay; round 5 then observed a claim handout
+    # that consistently took ~240-300 s (a 300 s manual probe succeeded right
+    # between two 240 s preflight failures), so the retry doubles the window
+    # rather than repeating a timeout that is known too short.
     timeout_s = timeout_s or int(os.environ.get("ADALOG_PREFLIGHT_S", "240"))
     probe = ("import jax, jax.numpy as jnp, numpy as np;"
              "print(np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0])")
     for i in range(retries):
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               timeout=timeout_s, capture_output=True)
+                               timeout=timeout_s * (i + 1), capture_output=True)
             if r.returncode == 0:
                 return True
             log(f"preflight attempt {i+1}: rc={r.returncode}")
         except subprocess.TimeoutExpired:
             log(f"preflight attempt {i+1}: TPU client init timed out "
-                f"({timeout_s}s) — stale pool claim?")
+                f"({timeout_s * (i + 1)}s) — stale pool claim?")
         time.sleep(10)
     return False
 
